@@ -1,0 +1,220 @@
+"""SNP genotype container and model↔data SNP alignment.
+
+Equivalent of the reference's ``hlaSNPGenoClass`` (R/DataUtilities.R:228-1035):
+a genotype matrix over biallelic SNPs with per-SNP metadata (id, position,
+"A/B" allele string), where genotype values count copies of allele A
+(0/1/2, NA = missing). Internally missing is code 3 so the device arrays are
+small unsigned ints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..constants import GENO_MISSING
+
+_COMPLEMENT = {"A": "T", "T": "A", "C": "G", "G": "C"}
+
+
+def _flip_str(allele: str) -> str:
+    return "/".join(_COMPLEMENT.get(x, x) for x in allele.split("/"))
+
+
+@dataclass
+class SNPGenoData:
+    """Genotype matrix [n_snp, n_samp] with codes {0,1,2,3=missing}."""
+
+    genotype: np.ndarray          # uint8 [P, N]
+    sample_id: np.ndarray         # object [N]
+    snp_id: np.ndarray            # object [P]
+    snp_position: np.ndarray      # int64 [P]
+    snp_allele: np.ndarray        # object [P], "A/B"
+    assembly: str = "auto"
+
+    def __post_init__(self):
+        self.genotype = np.asarray(self.genotype)
+        if self.genotype.dtype != np.uint8:
+            g = np.asarray(self.genotype, dtype=np.float64)
+            out = np.full(g.shape, GENO_MISSING, dtype=np.uint8)
+            ok = np.isfinite(g) & (g >= 0) & (g <= 2)
+            out[ok] = g[ok].astype(np.uint8)
+            self.genotype = out
+        self.sample_id = np.asarray(self.sample_id, dtype=object)
+        self.snp_id = np.asarray(self.snp_id, dtype=object)
+        self.snp_position = np.asarray(self.snp_position, dtype=np.int64)
+        self.snp_allele = np.asarray(self.snp_allele, dtype=object)
+
+    @property
+    def n_snp(self) -> int:
+        return int(self.genotype.shape[0])
+
+    @property
+    def n_samp(self) -> int:
+        return int(self.genotype.shape[1])
+
+    # --- QC helpers (hlaGenoAFreq/MFreq/etc., R/DataUtilities.R:993-1035) --
+
+    def allele_freq(self) -> np.ndarray:
+        """Frequency of allele A per SNP (ignoring missing)."""
+        g = self.genotype.astype(np.float64)
+        miss = g >= GENO_MISSING
+        g = np.where(miss, 0.0, g)
+        denom = 2.0 * (~miss).sum(axis=1)
+        with np.errstate(invalid="ignore"):
+            return np.where(denom > 0, g.sum(axis=1) / denom, np.nan)
+
+    def maf(self) -> np.ndarray:
+        f = self.allele_freq()
+        return np.minimum(f, 1.0 - f)
+
+    def missing_rate_snp(self) -> np.ndarray:
+        return (self.genotype >= GENO_MISSING).mean(axis=1)
+
+    def missing_rate_samp(self) -> np.ndarray:
+        return (self.genotype >= GENO_MISSING).mean(axis=0)
+
+    # --- subsetting (hlaGenoSubset, R/DataUtilities.R:304) -----------------
+
+    def subset(self, snp_mask=None, samp_mask=None) -> "SNPGenoData":
+        snp_mask = slice(None) if snp_mask is None else snp_mask
+        samp_mask = slice(None) if samp_mask is None else samp_mask
+        return SNPGenoData(
+            genotype=self.genotype[snp_mask][:, samp_mask],
+            sample_id=self.sample_id[samp_mask],
+            snp_id=self.snp_id[snp_mask],
+            snp_position=self.snp_position[snp_mask],
+            snp_allele=self.snp_allele[snp_mask],
+            assembly=self.assembly,
+        )
+
+    def subset_by_samples(self, sample_ids) -> "SNPGenoData":
+        pos = {s: i for i, s in enumerate(self.sample_id)}
+        idx = np.array([pos[s] for s in sample_ids], dtype=np.int64)
+        return self.subset(samp_mask=idx)
+
+    def snp_key(self, match_type: str = "Position") -> np.ndarray:
+        """Match keys, mirroring hlaSNPID (R/DataUtilities.R:512)."""
+        if match_type == "Position":
+            return self.snp_position.astype("U")
+        if match_type == "RefSNP":
+            return self.snp_id.astype("U")
+        if match_type == "RefSNP+Position":
+            return np.char.add(np.char.add(self.snp_id.astype("U"), "-"),
+                               self.snp_position.astype("U"))
+        if match_type == "Pos+Allele":
+            return np.char.add(np.char.add(self.snp_position.astype("U"), "-"),
+                               self.snp_allele.astype("U"))
+        raise ValueError(f"unknown match.type {match_type!r}")
+
+    @classmethod
+    def from_hibag_r(cls, robj_dict: dict) -> "SNPGenoData":
+        """Build from a decoded hlaSNPGenoClass (r_to_py dict)."""
+        d = robj_dict
+        return cls(
+            genotype=np.asarray(d["genotype"]),
+            sample_id=d["sample.id"],
+            snp_id=d["snp.id"],
+            snp_position=np.asarray(d["snp.position"], dtype=np.int64),
+            snp_allele=d["snp.allele"],
+            assembly=str(np.asarray(d.get("assembly", ["auto"])).ravel()[0]),
+        )
+
+
+def allele_switch(model_allele: str, target_allele: str,
+                  model_freq: Optional[float] = None,
+                  target_freq: Optional[float] = None,
+                  same_strand: bool = False):
+    """Decide how to map target genotype coding onto model allele coding.
+
+    Returns (usable, flip) — flip=True means genotype := 2 - genotype.
+    Mirrors the decision logic of HIBAG_AlleleStrand
+    (reference src/HIBAG.cpp:221-342): try direct match, swapped match,
+    strand-complement match, complement+swap; ambiguous A/T & C/G SNPs fall
+    back to allele-frequency comparison when frequencies are available.
+    """
+    try:
+        m1, m2 = str(model_allele).split("/")[:2]
+        t1, t2 = str(target_allele).split("/")[:2]
+    except ValueError:
+        return False, False
+    m1, m2, t1, t2 = m1.upper(), m2.upper(), t1.upper(), t2.upper()
+    c1, c2 = _COMPLEMENT.get(t1, t1), _COMPLEMENT.get(t2, t2)
+    ambiguous = {m1, m2} == {t1, t2} == {c1, c2} and m1 != m2
+    if ambiguous and not same_strand:
+        # A/T or C/G SNP: orientation ambiguous — use frequencies if given
+        if model_freq is not None and target_freq is not None \
+                and np.isfinite(model_freq) and np.isfinite(target_freq):
+            # pick the orientation that best matches the model frequency
+            flip = abs(model_freq - target_freq) > abs(model_freq - (1.0 - target_freq))
+            return True, bool(flip)
+        return True, (m1 != t1)
+    if (m1, m2) == (t1, t2):
+        return True, False
+    if (m1, m2) == (t2, t1):
+        return True, True
+    if not same_strand:
+        if (m1, m2) == (c1, c2):
+            return True, False
+        if (m1, m2) == (c2, c1):
+            return True, True
+    return False, False
+
+
+def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
+                   same_strand: bool = False):
+    """Reorder/flip target genotypes into the model's SNP space.
+
+    Returns (codes [N, P_model] uint8 with 3=missing, info dict).
+    Mirrors hlaPredict's SNP matching + hlaGenoSwitchStrand
+    (reference R/HIBAG.R:585-679, R/DataUtilities.R:415-505).
+    """
+    model_keys = {}
+    mk = _model_keys(model, match_type)
+    for i, k in enumerate(mk):
+        model_keys.setdefault(k, i)
+    tk = data.snp_key(match_type)
+    P = len(mk)
+    N = data.n_samp
+    codes = np.full((N, P), GENO_MISSING, dtype=np.uint8)
+    tfreq = data.allele_freq()
+    mfreq = model.snp_allele_freq
+    n_match = n_flip = n_reject = 0
+    for j, k in enumerate(tk):
+        i = model_keys.get(k)
+        if i is None:
+            continue
+        usable, flip = allele_switch(
+            model.snp_allele[i], data.snp_allele[j],
+            None if mfreq is None else float(mfreq[i]),
+            float(tfreq[j]), same_strand=same_strand)
+        if not usable:
+            n_reject += 1
+            continue
+        g = data.genotype[j]  # [N]
+        if flip:
+            g = np.where(g <= 2, 2 - g, GENO_MISSING).astype(np.uint8)
+            n_flip += 1
+        codes[:, i] = g
+        n_match += 1
+    info = {"n_model_snp": P, "n_matched": n_match, "n_flipped": n_flip,
+            "n_rejected": n_reject,
+            "missing_fraction": 1.0 - n_match / max(P, 1)}
+    return codes, info
+
+
+def _model_keys(model, match_type: str) -> np.ndarray:
+    pos = model.snp_position.astype("U")
+    sid = np.asarray(model.snp_id, dtype="U")
+    allele = np.asarray(model.snp_allele, dtype="U")
+    if match_type == "Position":
+        return pos
+    if match_type == "RefSNP":
+        return sid
+    if match_type == "RefSNP+Position":
+        return np.char.add(np.char.add(sid, "-"), pos)
+    if match_type == "Pos+Allele":
+        return np.char.add(np.char.add(pos, "-"), allele)
+    raise ValueError(f"unknown match.type {match_type!r}")
