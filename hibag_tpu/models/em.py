@@ -1,0 +1,254 @@
+"""EM haplotype-frequency estimation and candidate-SNP evaluation kernels.
+
+TPU-native reformulation of the reference's training inner loops
+(CAlg_EM, src/LibHLA.cpp:1000-1255; CVariableSelection evaluation,
+src/LibHLA.cpp:1920-1979):
+
+* Haplotype-pair matching per in-bag sample (PrepareHaplotypes /
+  _PrepHaploMatch) becomes a batched distance matmul + per-sample min:
+  the matched-pair set is exactly {(i,j) in the sample's allele blocks :
+  D_ij == min D}, kept as a dense boolean mask.
+
+* The per-sample pair lists of the reference's EM become the symmetric mask:
+  summing f_i·f_j over ALL ordered masked pairs equals the reference's
+  (2-δ)-weighted unordered sums, and the M-step row-sum identity
+  freq_h ∝ Σ_s B_s · f_h·(M_s·f)_h / psum_s reproduces its accumulation
+  (both endpoints, diagonal doubled) exactly.
+
+* The doubled haplotype list (DoubleHaplos) is never materialized: EM state
+  is freq[H, 2] (new-SNP bit 0/1 per base haplotype) and the four bilinear
+  forms fA/fB x mask x fA/fB give psum for genotype 0/1/2/NA. ALL mtry
+  candidate SNPs run EM simultaneously — one [S·H, H] x [H, 2·mtry] matmul
+  per EM iteration instead of the reference's serial per-candidate loops.
+
+* EraseDoubleHaplos's rare-haplotype merge/drop becomes a vectorized
+  select over the [H, 2] pairs (src/LibHLA.cpp:461-515 semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (EM_INIT_VAL_FRAC, EM_MAX_ITERATIONS, GENO_MISSING,
+                         LOG_MIN_RARE_FREQ, MIN_RARE_FREQ)
+from ..ops.scoring import pair_distance
+
+BIG = 1e9
+
+
+# ---------------------------------------------------------------------------
+# pair matching (PrepareHaplotypes)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
+    """Per-sample matched haplotype-pair masks.
+
+    bits [H, L] {0,1}; valid [H] bool; allele [H] int; geno_sel [S, L] codes
+    over the currently selected SNPs (missing/pad = 3); samp_a1/samp_a2 [S]
+    the known HLA alleles of each in-bag sample (a1 <= a2).
+
+    Returns mask [S, H, H] bool (symmetric), the reference's min-Hamming
+    matched set (reference _PrepHaploMatch_def, src/LibHLA.cpp:1569-1636).
+    """
+    D = pair_distance(bits, geno_sel)  # [S, H, H]
+    ok1 = valid[None, :] & (allele[None, :] == samp_a1[:, None])  # [S, H]
+    ok2 = valid[None, :] & (allele[None, :] == samp_a2[:, None])
+    block = ok1[:, :, None] & ok2[:, None, :]
+    block = block | jnp.swapaxes(block, 1, 2)  # symmetric closure
+    Dm = jnp.where(block, D, BIG)
+    dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
+    return block & (Dm == dmin)
+
+
+# ---------------------------------------------------------------------------
+# EM over all candidates at once
+# ---------------------------------------------------------------------------
+
+def _em_estep(fA, fB, mask_f, B, g_new, total_n):
+    """One E+M step for all candidates.
+
+    fA/fB [C, H]; mask_f [S, H, H] float; B [S]; g_new [C, S] codes;
+    returns (fA', fB' [C, H], loglik [C]).
+    """
+    C, H = fA.shape
+    S = mask_f.shape[0]
+    # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
+    fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
+    t = jnp.einsum("shj,cj->csh", mask_f, fboth,
+                   preferred_element_type=jnp.float32)      # [2C, S, H]
+    t0, t1 = t[:C], t[C:]                                   # [C, S, H]
+    q00 = fA[:, None, :] * t0                               # [C, S, H]
+    q01 = fA[:, None, :] * t1
+    q10 = fB[:, None, :] * t0
+    q11 = fB[:, None, :] * t1
+    s00 = q00.sum(-1)                                       # [C, S]
+    s01 = q01.sum(-1)
+    s10 = q10.sum(-1)
+    s11 = q11.sum(-1)
+    g = g_new[:, :]                                         # [C, S]
+    is0, is1, is2 = (g == 0), (g == 1), (g == 2)
+    isna = ~(is0 | is1 | is2)
+    psum = jnp.where(is0, s00,
+           jnp.where(is1, s01 + s10,
+           jnp.where(is2, s11, s00 + s01 + s10 + s11)))
+    num0 = (jnp.where(is0[..., None], q00, 0)
+            + jnp.where(is1[..., None], q01, 0)
+            + jnp.where(isna[..., None], q00 + q01, 0))     # [C, S, H]
+    num1 = (jnp.where(is1[..., None], q10, 0)
+            + jnp.where(is2[..., None], q11, 0)
+            + jnp.where(isna[..., None], q10 + q11, 0))
+    psum_safe = jnp.maximum(psum, 1e-300 if psum.dtype == jnp.float64 else 1e-37)
+    wgt = (B[None, :] / psum_safe)                          # [C, S]
+    fA_new = jnp.einsum("cs,csh->ch", wgt, num0) / total_n
+    fB_new = jnp.einsum("cs,csh->ch", wgt, num1) / total_n
+    loglik = (B[None, :] * jnp.log(psum_safe)).sum(-1)      # [C]
+    return fA_new, fB_new, loglik
+
+
+#: default EM convergence reltol — sqrt(machine eps) of the compute dtype,
+#: mirroring the reference's sqrt(DBL_EPSILON) scaled to f32 compute
+F32_RELTOL = float(np.sqrt(np.finfo(np.float32).eps))
+
+
+@functools.partial(jax.jit, static_argnames=("reltol",))
+def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
+                      reltol=F32_RELTOL):
+    """Run the reference's EM to convergence for every candidate SNP.
+
+    freq0 [H]: current haplotype freqs; valid [H] bool; mask [S,H,H] bool;
+    B [S] bootstrap counts (0 for padded samples); g_new [C, S] candidate-SNP
+    genotype codes per in-bag sample; afreq [C] candidate allele freq (from
+    PrepareNewSNP); total_n scalar (total sample count).
+
+    Convergence mirrors src/LibHLA.cpp:1185-1255: tolerance from the first
+    iteration's log-likelihood, |dLL| <= tol, max EM_MAX_ITERATIONS.
+    Converged candidates freeze their state while others continue.
+
+    Returns (fA [C,H], fB [C,H], loglik [C], n_iter [C]).
+    """
+    C = g_new.shape[0]
+    mask_f = mask.astype(jnp.float32)
+    v = valid.astype(freq0.dtype)
+    # DoubleHaplosInitFreq (src/LibHLA.cpp:447-459): p0*f + eps, p1*f + eps
+    fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
+    fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
+
+    fA1, fB1, ll1, = _em_estep(fA0, fB0, mask_f, B, g_new, total_n)
+    tol = reltol * (jnp.abs(ll1) + reltol)
+
+    def cond(state):
+        fA, fB, ll_old, done, it = state
+        return (~jnp.all(done)) & (it <= EM_MAX_ITERATIONS)
+
+    def body(state):
+        fA, fB, ll_old, done, it = state
+        fA_new, fB_new, ll = _em_estep(fA, fB, mask_f, B, g_new, total_n)
+        newly_done = jnp.abs(ll - ll_old) <= tol
+        keep = done[:, None]
+        fA = jnp.where(keep, fA, fA_new)
+        fB = jnp.where(keep, fB, fB_new)
+        ll = jnp.where(done, ll_old, ll)
+        return fA, fB, ll, done | newly_done, it + 1
+
+    fA, fB, ll, done, it = jax.lax.while_loop(
+        cond, body, (fA1, fB1, ll1, jnp.zeros(C, bool), jnp.asarray(1)))
+    return fA, fB, ll, it
+
+
+@functools.partial(jax.jit, static_argnames=())
+def erase_rare(fA, fB, rare_prob):
+    """EraseDoubleHaplos (src/LibHLA.cpp:461-515), vectorized per candidate.
+
+    fA/fB [C, H] (freqs of new-SNP-bit 0/1 versions). For each base
+    haplotype: if either member is rare (< rare_prob), keep the single
+    higher-frequency member with the merged frequency when the pair sum is
+    >= MIN_RARE_FREQ, else drop both; renormalize.
+
+    Returns (fA', fB') with dropped slots exactly 0.
+    """
+    sumf = fA + fB
+    is_rare = (fA < rare_prob) | (fB < rare_prob)
+    keep_merged = is_rare & (sumf >= MIN_RARE_FREQ)
+    keep_bit0 = fA >= fB  # reference keeps p[0] on ties
+    fA2 = jnp.where(is_rare,
+                    jnp.where(keep_merged & keep_bit0, sumf, 0.0), fA)
+    fB2 = jnp.where(is_rare,
+                    jnp.where(keep_merged & ~keep_bit0, sumf, 0.0), fB)
+    total = (fA2 + fB2).sum(-1, keepdims=True)
+    scale = 1.0 / jnp.maximum(total, 1e-37)
+    return fA2 * scale, fB2 * scale
+
+
+# ---------------------------------------------------------------------------
+# candidate evaluation: OOB accuracy + in-bag log-likelihood
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
+                        geno_sel_eval, true_a1, true_a2, is_oob, B,
+                        n_alleles):
+    """Score every candidate: OOB best-guess accuracy + in-bag -2logLik.
+
+    bits [H, L] base haplotype bits (selected SNPs in cols 0..n_snp-1);
+    allele [H]; new_col static column index for the candidate SNP;
+    fA/fB [C, H] post-erase freqs (0 = dropped); g_cand_eval [C, Neval]
+    candidate-SNP genotypes for eval samples; geno_sel_eval [Neval, L];
+    true_a1/true_a2 [Neval] (a1<=a2); is_oob [Neval] bool; B [Neval]
+    bootstrap counts (0 for OOB/padded).
+
+    Returns (acc_count [C] int32: per OOB sample 0/1/2 summed;
+             loglik [C]: -2 sum B*log postprob(true pair)).
+
+    Mirrors _OutOfBagAccuracy / _InBagLogLik (src/LibHLA.cpp:1934-1979).
+    """
+    C, H = fA.shape
+    Neval = geno_sel_eval.shape[0]
+    A = n_alleles
+
+    bits0 = bits.at[:, new_col].set(0.0)
+    bits1 = bits.at[:, new_col].set(1.0)
+    bits2 = jnp.concatenate([bits0, bits1], axis=0)     # [2H, L]
+    allele2 = jnp.concatenate([allele, allele])         # [2H]
+
+    def per_candidate(fa, fb, g_cand):
+        freq2 = jnp.concatenate([fa, fb])               # [2H]
+        geno = geno_sel_eval.at[:, new_col].set(g_cand)  # [Neval, L]
+        D = pair_distance(bits2, geno)                  # [Neval, 2H, 2H]
+        ok = (freq2 > 0)
+        pair_ok = ok[:, None] & ok[None, :]
+        Dm = jnp.where(pair_ok[None], D, BIG)
+        dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
+        pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
+        pen = jnp.where(pair_ok[None], pen, 0.0)
+        W = jax.nn.one_hot(allele2, A, dtype=pen.dtype) * freq2[:, None]
+        S = jnp.einsum("ha,nhg,gb->nab", W, pen, W,
+                       preferred_element_type=jnp.float32)  # [Neval, A, A]
+        total = S.sum((1, 2))
+        # best guess: first max over upper triangle in row-major order ==
+        # full-matrix argmax (symmetric; upper entry precedes its mirror)
+        flat = S.reshape(Neval, A * A)
+        b = jnp.argmax(flat, axis=1)
+        g1, g2 = b // A, b % A
+        g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
+        # CHLATypeList::Compare (src/LibHLA.cpp:911-924)
+        p1, p2, t1, t2 = g1, g2, true_a1, true_a2
+        m1 = (p1 == t1) | (p1 == t2)
+        t1u = jnp.where(m1 & (p1 == t1), -1, t1)
+        t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
+        m2 = (p2 == t1u) | (p2 == t2u)
+        cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+        acc = jnp.where(is_oob & (total > 0), cnt, 0).sum()
+        # in-bag log-lik of true pair: postprob = Q[t1,t2]/total
+        q = S[jnp.arange(Neval), true_a1, true_a2]
+        q = q * jnp.where(true_a1 == true_a2, 1.0, 2.0)
+        post = q / jnp.maximum(total, 1e-37)
+        ll = -2.0 * (B * jnp.log(jnp.maximum(post, 1e-37))).sum()
+        return acc, ll
+
+    accs, lls = jax.vmap(per_candidate)(fA, fB, g_cand_eval)
+    return accs, lls

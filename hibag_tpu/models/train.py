@@ -1,0 +1,416 @@
+"""Attribute-bagging training: bootstrap, greedy SNP selection, EM.
+
+Host-side orchestration of the TPU kernels in em.py, replicating the
+reference's control flow (CVariableSelection::Search, src/LibHLA.cpp:
+1981-2122; CAttrBag_Model::BuildClassifiers, src/LibHLA.cpp:2268-2305;
+hlaAttrBagging wrapper, R/HIBAG.R:48-275), with one structural change made
+for the hardware: all mtry candidate SNPs are EM-fitted and scored *in
+parallel on device* per greedy step (they are independent given the shared
+pair masks), instead of the reference's serial per-candidate loop.
+
+Decision logic (accept / tie-break / stop / prune) follows the reference
+exactly, including its running-max evaluation-order semantics and its RNG
+consumption order (bootstrap before selection; partial Fisher-Yates draws).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
+                         MIN_RARE_FREQ, PRUNE_RELTOL_LOGLIK,
+                         STOP_RELTOL_LOGLIK_ADDSNP)
+from ..data.allele import unique_alleles
+from ..utils.rng import RRng
+from .em import em_all_candidates, erase_rare, evaluate_candidates, match_pairs
+from .model import AttrBagModel, Classifier
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SamplingWithoutReplace:
+    """Index-pool bookkeeping, mirroring CSamplingWithoutReplace
+    (src/LibHLA.cpp:930-993) including RNG consumption order."""
+
+    def __init__(self, m_total: int):
+        self.idx = list(range(m_total))
+        self.m_try = 0
+
+    def total(self) -> int:
+        return len(self.idx)
+
+    def random_select(self, m_try: int, rng: RRng) -> None:
+        n = len(self.idx)
+        if m_try > n:
+            m_try = n
+        if m_try < n:
+            for i in range(m_try):
+                k = rng.random_num(n - i)
+                self.idx[k], self.idx[n - i - 1] = self.idx[n - i - 1], self.idx[k]
+        self.m_try = m_try
+
+    def selection(self) -> list:
+        return self.idx[len(self.idx) - self.m_try:]
+
+    def set_selected(self, i: int, value: int) -> None:
+        self.idx[len(self.idx) - self.m_try + i] = value
+
+    def remove(self, i: int) -> None:
+        del self.idx[len(self.idx) - self.m_try + i]
+
+    def remove_selection(self) -> None:
+        del self.idx[len(self.idx) - self.m_try:]
+
+    def remove_flagged(self) -> None:
+        n = len(self.idx)
+        for i in range(n - 1, n - self.m_try - 1, -1):
+            if self.idx[i] < 0:
+                del self.idx[i]
+
+
+@dataclass
+class TrainingContext:
+    """Shared per-locus training data (device-resident constants)."""
+
+    geno: np.ndarray          # [N, P] codes {0,1,2,3}
+    a1: np.ndarray            # [N] int32 allele index, a1 <= a2
+    a2: np.ndarray            # [N]
+    n_alleles: int
+    snp_id: np.ndarray
+    snp_position: np.ndarray
+    snp_allele: np.ndarray
+    sample_id: np.ndarray
+    hap_bucket: int = 32
+
+    def __post_init__(self):
+        self.n_samp, self.n_snp = self.geno.shape
+        self.geno_j = jnp.asarray(self.geno)
+        self.a1_j = jnp.asarray(self.a1)
+        self.a2_j = jnp.asarray(self.a2)
+
+
+@dataclass
+class _HaploState:
+    """Host-side current haplotype list (allele-grouped, compact)."""
+
+    bits: np.ndarray     # [H, n_snp] uint8
+    freq: np.ndarray     # [H] float64
+    allele: np.ndarray   # [H] int32 nondecreasing
+
+
+def _init_haplotype(ctx: TrainingContext, B: np.ndarray) -> _HaploState:
+    """Freq-weighted singleton haplotype per observed allele
+    (_InitHaplotype, src/LibHLA.cpp:1880-1914)."""
+    counts = np.zeros(ctx.n_alleles, dtype=np.int64)
+    np.add.at(counts, ctx.a1, B)
+    np.add.at(counts, ctx.a2, B)
+    total = counts.sum()
+    sel = np.nonzero(counts > 0)[0]
+    return _HaploState(
+        bits=np.zeros((len(sel), 0), dtype=np.uint8),
+        freq=counts[sel] * (0.5 / total),
+        allele=sel.astype(np.int32),
+    )
+
+
+def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
+                    mtry: int, prune: bool = True,
+                    verbose_detail: bool = False) -> Classifier:
+    """Grow one classifier: greedy forward SNP selection
+    (CVariableSelection::Search, src/LibHLA.cpp:1981-2122)."""
+    N, P = ctx.n_samp, ctx.n_snp
+    L = MAXNUM_SNP
+    n_oob = int((B == 0).sum())
+    rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
+    Bj = jnp.asarray(B.astype(np.float32))
+    is_oob_j = jnp.asarray(B == 0)
+
+    state = _init_haplotype(ctx, B)
+    snp_sel: list[int] = []
+    geno_sel = np.full((N, L), GENO_MISSING, dtype=np.int8)
+    geno_sel_j = jnp.asarray(geno_sel)
+
+    sampling = SamplingWithoutReplace(P)
+    global_max_acc = 0      # correct allele count over OOB
+    global_min_loss = 1e30
+
+    while sampling.total() > 0 and len(snp_sel) < MAXNUM_SNP:
+        H = len(state.freq)
+        Hcap = _round_up(max(H, 1), ctx.hap_bucket)
+        bits_p = np.zeros((Hcap, L), dtype=np.float32)
+        if state.bits.size:
+            bits_p[:H, :state.bits.shape[1]] = state.bits
+        freq_p = np.zeros(Hcap, dtype=np.float32)
+        freq_p[:H] = state.freq
+        allele_p = np.zeros(Hcap, dtype=np.int32)
+        allele_p[:H] = state.allele
+        bits_j = jnp.asarray(bits_p)
+        freq_j = jnp.asarray(freq_p)
+        valid_j = jnp.asarray(freq_p > 0)
+        allele_j = jnp.asarray(allele_p)
+
+        # matched pair mask over current haplotypes (PrepareHaplotypes)
+        mask = match_pairs(bits_j, valid_j, allele_j, geno_sel_j,
+                           ctx.a1_j, ctx.a2_j)
+
+        sampling.random_select(mtry, rng)
+        cands = sampling.selection()
+        Cm = len(cands)
+        # pad the candidate batch to a fixed width so kernel shapes (and
+        # compiled executables) are stable when the pool shrinks below mtry
+        cand_idx = np.zeros(mtry, dtype=np.int64)
+        cand_idx[:Cm] = cands
+
+        # PrepareNewSNP: bootstrap-weighted allele freq, monomorphic filter
+        g_cand = ctx.geno[:, cand_idx].T.astype(np.int8)      # [Cm, N]
+        gv = g_cand.astype(np.int64)
+        ok = gv <= 2
+        allele_cnt = np.where(ok, gv, 0) @ B
+        valid_cnt = 2 * (ok @ B)
+        cand_ok = (allele_cnt > 0) & (allele_cnt < valid_cnt)
+        cand_ok[Cm:] = False
+        afreq = np.where(cand_ok, allele_cnt / np.maximum(valid_cnt, 1), 0.5)
+
+        # EM for all candidates at once, then rare-haplotype pruning
+        fA, fB, _, _ = em_all_candidates(
+            freq_j, valid_j, mask, Bj, jnp.asarray(g_cand),
+            jnp.asarray(afreq.astype(np.float32)), float(N))
+        fA, fB = erase_rare(fA, fB, rare_prob)
+
+        # evaluate OOB accuracy + in-bag log-lik for all candidates
+        new_col = jnp.asarray(len(snp_sel), dtype=jnp.int32)
+        acc_c, loss_c = evaluate_candidates(
+            bits_j, allele_j, new_col, fA, fB, jnp.asarray(g_cand),
+            geno_sel_j, ctx.a1_j, ctx.a2_j, is_oob_j, Bj, ctx.n_alleles)
+        acc_c = np.asarray(acc_c)
+        loss_c = np.asarray(loss_c, dtype=np.float64)
+
+        # --- reference decision scan (running-max semantics) -------------
+        max_acc = global_max_acc
+        min_loss = global_min_loss
+        min_i = -1
+        for i in range(Cm):
+            if not cand_ok[i]:
+                continue
+            acc = int(acc_c[i])
+            loss = float(loss_c[i]) if acc >= max_acc else 0.0
+            if acc > max_acc:
+                min_i, min_loss, max_acc = i, loss, acc
+            elif acc == max_acc and loss < min_loss:
+                min_i, min_loss = i, loss
+            if prune:
+                if acc < global_max_acc:
+                    sampling.set_selected(i, -1)
+                elif acc == global_max_acc:
+                    if loss > global_min_loss * (1 + PRUNE_RELTOL_LOGLIK) \
+                            and min_i != i:
+                        sampling.set_selected(i, -1)
+
+        if max_acc > global_max_acc:
+            sign = True
+        elif max_acc == global_max_acc and min_i >= 0:
+            sign = (min_loss >= STOP_RELTOL_LOGLIK_ADDSNP and
+                    min_loss < global_min_loss * (1 - STOP_RELTOL_LOGLIK_ADDSNP))
+        else:
+            sign = False
+
+        if sign:
+            global_max_acc = max_acc
+            global_min_loss = min_loss
+            chosen_snp = cands[min_i]
+            fa = np.asarray(fA[min_i], dtype=np.float64)[:Hcap]
+            fb = np.asarray(fB[min_i], dtype=np.float64)[:Hcap]
+            # flatten doubled list (interleaved 2h+b keeps allele grouping)
+            n_old = len(snp_sel)
+            keep0 = fa[:H] > 0
+            keep1 = fb[:H] > 0
+            new_bits, new_freq, new_allele = [], [], []
+            for h in range(H):
+                base = state.bits[h] if n_old else np.zeros(0, np.uint8)
+                if keep0[h]:
+                    new_bits.append(np.append(base, 0).astype(np.uint8))
+                    new_freq.append(fa[h])
+                    new_allele.append(state.allele[h])
+                if keep1[h]:
+                    new_bits.append(np.append(base, 1).astype(np.uint8))
+                    new_freq.append(fb[h])
+                    new_allele.append(state.allele[h])
+            state = _HaploState(
+                bits=np.asarray(new_bits, dtype=np.uint8),
+                freq=np.asarray(new_freq, dtype=np.float64),
+                allele=np.asarray(new_allele, dtype=np.int32))
+            snp_sel.append(int(chosen_snp))
+            geno_sel[:, n_old] = ctx.geno[:, chosen_snp]
+            geno_sel_j = jnp.asarray(geno_sel)
+            if prune:
+                sampling.set_selected(min_i, -1)
+                sampling.remove_flagged()
+            else:
+                sampling.remove(min_i)
+            if verbose_detail:
+                print(f"    {len(snp_sel):2d}, SNP: {chosen_snp + 1}, "
+                      f"loss: {global_min_loss:g}, "
+                      f"oob acc: {50.0 * global_max_acc / max(n_oob, 1):.2f}%, "
+                      f"# of haplo: {len(state.freq)}")
+        else:
+            sampling.remove_selection()
+
+    oob_acc = 0.5 * global_max_acc / max(n_oob, 1)
+    return Classifier(
+        snp_index=np.asarray(snp_sel, dtype=np.int32),
+        hap_bits=state.bits,
+        hap_freq=state.freq,
+        hap_allele=state.allele,
+        bootstrap_count=B.astype(np.int32),
+        oob_accuracy=float(oob_acc),
+    )
+
+
+def make_training_context(hla_table, geno_data, na_rm: bool = True,
+                          mono_rm: bool = True, maf: float = float("nan"),
+                          hap_bucket: int = 32) -> tuple:
+    """Sample intersection / SNP QC / allele factorization
+    (hlaAttrBagging preamble, R/HIBAG.R:77-174).
+
+    Returns (TrainingContext, allele_list, kept_snp_mask).
+    """
+    # common samples, preserving hla-table order of the intersection
+    geno_pos = {s: i for i, s in enumerate(geno_data.sample_id)}
+    keep = [i for i, s in enumerate(hla_table.sample_id) if s in geno_pos]
+    if na_rm:
+        keep = [i for i in keep
+                if hla_table.allele1[i] is not None
+                and hla_table.allele2[i] is not None]
+    if not keep:
+        raise ValueError("no common samples between HLA table and genotypes")
+    samp_ids = hla_table.sample_id[keep]
+    h1 = hla_table.allele1[keep]
+    h2 = hla_table.allele2[keep]
+    gcols = np.array([geno_pos[s] for s in samp_ids])
+    geno = geno_data.genotype[:, gcols].T.copy()   # [N, P]
+
+    # SNP filtering (monomorphic / MAF)
+    g = geno.astype(np.float64)
+    miss = g >= GENO_MISSING
+    with np.errstate(invalid="ignore"):
+        f = np.where(miss, 0, g).sum(0) / np.maximum(2.0 * (~miss).sum(0), 1)
+    mf = np.minimum(f, 1 - f)
+    mf[~np.isfinite(mf)] = 0
+    snp_keep = np.ones(geno.shape[1], dtype=bool)
+    if mono_rm:
+        snp_keep &= mf > 0
+    if np.isfinite(maf):
+        snp_keep &= mf >= maf
+    geno = geno[:, snp_keep]
+
+    alleles = unique_alleles(np.concatenate([h1, h2]))
+    aidx = {a: i for i, a in enumerate(alleles)}
+    a1 = np.array([aidx[a] for a in h1], dtype=np.int32)
+    a2 = np.array([aidx[a] for a in h2], dtype=np.int32)
+    a1, a2 = np.minimum(a1, a2), np.maximum(a1, a2)
+
+    ctx = TrainingContext(
+        geno=geno.astype(np.int8), a1=a1, a2=a2, n_alleles=len(alleles),
+        snp_id=geno_data.snp_id[snp_keep],
+        snp_position=geno_data.snp_position[snp_keep],
+        snp_allele=geno_data.snp_allele[snp_keep],
+        sample_id=samp_ids, hap_bucket=hap_bucket)
+    return ctx, alleles, snp_keep
+
+
+def _resolve_mtry(mtry, n_snp: int) -> int:
+    """mtry resolution (R/HIBAG.R:180-208)."""
+    if isinstance(mtry, str):
+        if mtry == "sqrt":
+            m = int(np.ceil(np.sqrt(n_snp)))
+        elif mtry == "all":
+            m = n_snp
+        elif mtry == "one":
+            m = 1
+        else:
+            raise ValueError(f"invalid mtry {mtry!r}")
+    else:
+        m = float(mtry)
+        if not np.isfinite(m):
+            m = int(np.ceil(np.sqrt(n_snp)))
+        else:
+            if 0 < m < 1:
+                m = n_snp * m
+            m = min(int(np.ceil(m)), n_snp)
+    return max(int(m), 1)
+
+
+def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
+          prune: bool = True, na_rm: bool = True, mono_rm: bool = True,
+          maf: float = float("nan"), seed: Optional[int] = None,
+          rng: Optional[RRng] = None, verbose: bool = True,
+          verbose_detail: bool = False, with_matching: bool = True,
+          hap_bucket: int = 32,
+          assembly: Optional[str] = None) -> AttrBagModel:
+    """Build an attribute-bagging model (hlaAttrBagging equivalent,
+    reference R/HIBAG.R:48-275)."""
+    ctx, alleles, _ = make_training_context(
+        hla_table, geno_data, na_rm=na_rm, mono_rm=mono_rm, maf=maf,
+        hap_bucket=hap_bucket)
+    m = _resolve_mtry(mtry, ctx.n_snp)
+    if rng is None:
+        rng = RRng(seed)
+    if verbose:
+        print(f"Build a model with {n_classifiers} individual classifiers:")
+        print(f"    # of SNPs randomly sampled as candidates "
+              f"for each selection: {m}")
+        print(f"    # of SNPs: {ctx.n_snp}")
+        print(f"    # of samples: {ctx.n_samp}")
+        print(f"    # of unique HLA alleles: {ctx.n_alleles}")
+
+    classifiers = []
+    for k in range(n_classifiers):
+        t0 = time.time()
+        B = rng.bootstrap_counts(ctx.n_samp)
+        c = grow_classifier(ctx, B, rng, m, prune=prune,
+                            verbose_detail=verbose_detail)
+        classifiers.append(c)
+        if verbose:
+            print(f"[{k + 1}] {time.strftime('%Y-%m-%d %H:%M:%S')}, "
+                  f"oob acc: {c.oob_accuracy * 100:.2f}%, "
+                  f"# of SNPs: {c.n_snp}, # of haplo: {c.n_haplo} "
+                  f"({time.time() - t0:.2f}s)")
+
+    # model SNP set = SNPs used by any classifier? No — the reference keeps
+    # the full filtered SNP set (pruning to used SNPs is hlaPublish's job).
+    g = ctx.geno.astype(np.float64)
+    miss = g >= GENO_MISSING
+    with np.errstate(invalid="ignore"):
+        afreq = (np.where(miss, 0, g).sum(0)
+                 / np.maximum(2.0 * (~miss).sum(0), 1))
+    hla_freq = np.zeros(len(alleles))
+    for a in (ctx.a1, ctx.a2):
+        np.add.at(hla_freq, a, 1)
+    hla_freq /= hla_freq.sum()
+
+    model = AttrBagModel(
+        locus=hla_table.locus,
+        snp_id=ctx.snp_id, snp_position=ctx.snp_position,
+        snp_allele=ctx.snp_allele,
+        snp_allele_freq=afreq,
+        hla_alleles=list(alleles), hla_freq=hla_freq,
+        assembly=assembly or geno_data.assembly,
+        sample_id=ctx.sample_id,
+        classifiers=classifiers)
+
+    if with_matching:
+        from .predict import predict
+        pd = predict(model, geno_data, match_type="Pos+Allele")
+        model.matching = pd.matching
+        if verbose:
+            oob = np.mean([c.oob_accuracy for c in classifiers])
+            print(f"Out-of-bag accuracy: {oob * 100:.2f}%")
+    return model

@@ -1,12 +1,18 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
-# without TPU hardware. Must be set before jax imports.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests run on CPU (fast compiles; the real-TPU path is exercised by
+# bench.py and __graft_entry__). The image's sitecustomize imports jax and
+# pins JAX_PLATFORMS=axon before this file runs, so the env var is already
+# consumed — override through jax.config instead, and request a virtual
+# 8-device CPU platform so sharding logic is exercised without hardware.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

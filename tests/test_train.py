@@ -1,0 +1,89 @@
+"""Training-path tests, modeled on the reference's own CI strategy
+(tests/runTests.R): train a small ensemble on a split of the bundled CEU
+data and assert per-locus accuracy floors on the held-out half."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hla_A(hla_types):
+    from hibag_tpu.data.allele import HLATypeTable
+    return HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"],
+        locus="A", assembly="hg19")
+
+
+@pytest.fixture(scope="module")
+def flank_geno(hapmap_geno):
+    from hibag_tpu.data.allele import flanking_snps
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position,
+                        "A", flank_bp=500_000, assembly="hg19")
+    sel = np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str))
+    return hapmap_geno.subset(snp_mask=sel)
+
+
+def test_rng_matches_r():
+    from hibag_tpu.utils.rng import RRng
+    r = RRng(42)
+    np.testing.assert_allclose(
+        r.unif_rand(5),
+        [0.9148060435, 0.9370754133, 0.2861395348, 0.8304476261, 0.6417455189],
+        atol=1e-9)
+    r = RRng(100)
+    np.testing.assert_allclose(
+        r.unif_rand(3), [0.30776611, 0.25767250, 0.55232243], atol=1e-7)
+
+
+def test_bootstrap_counts():
+    from hibag_tpu.utils.rng import RRng
+    r = RRng(7)
+    B = r.bootstrap_counts(50)
+    assert B.sum() == 50
+    assert (B == 0).any()
+
+
+def test_grow_single_classifier(hla_A, flank_geno):
+    from hibag_tpu.models.train import (grow_classifier,
+                                        make_training_context)
+    from hibag_tpu.utils.rng import RRng
+    ctx, alleles, _ = make_training_context(hla_A, flank_geno)
+    assert ctx.n_samp == 60
+    rng = RRng(100)
+    B = rng.bootstrap_counts(ctx.n_samp)
+    c = grow_classifier(ctx, B, rng, mtry=int(np.ceil(np.sqrt(ctx.n_snp))))
+    assert 1 <= c.n_snp <= 128
+    assert c.n_haplo >= ctx.n_alleles / 2
+    np.testing.assert_allclose(c.hap_freq.sum(), 1.0, atol=1e-3)
+    assert 0 <= c.oob_accuracy <= 1
+    # haplotypes stay allele-grouped
+    assert np.all(np.diff(c.hap_allele) >= 0)
+
+
+def test_train_small_ensemble_accuracy(hla_A, flank_geno):
+    """Reference CI floor: HLA-A accuracy >= 0.9 with 10 classifiers on a
+    50/50 split (tests/runTests.R:13-16,59-65)."""
+    from hibag_tpu.data.allele import split_alleles
+    from hibag_tpu.models.predict import predict
+    from hibag_tpu.models.train import train
+
+    rng = np.random.default_rng(100)
+    tr, va = split_alleles(hla_A, 0.5, rng)
+    tr_geno = flank_geno.subset_by_samples(tr.sample_id)
+    va_geno = flank_geno.subset_by_samples(va.sample_id)
+
+    model = train(tr, tr_geno, n_classifiers=10, seed=100, verbose=False)
+    assert model.n_classifiers == 10
+    res = predict(model, va_geno)
+    truth = {s: (a1, a2) for s, a1, a2 in
+             zip(va.sample_id, va.allele1, va.allele2)}
+    t1 = [truth[s][0] for s in res.sample_id]
+    t2 = [truth[s][1] for s in res.sample_id]
+    acc = res.accuracy_vs(t1, t2)
+    assert acc >= 0.9, f"HLA-A held-out accuracy {acc} below reference floor"
+
+    # model roundtrips through the HIBAG schema
+    from hibag_tpu.models.model import AttrBagModel
+    m2 = AttrBagModel.from_hibag_obj(model.to_hibag_obj(), locus="A")
+    res2 = predict(m2, va_geno)
+    assert np.array_equal(res.allele1, res2.allele1)
