@@ -1,0 +1,92 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: classifiers trained per second on the BASELINE.json config[0]
+workload — HapMap CEU HLA-A, 60 samples, ~1000 flanking SNPs, 25-classifier
+ensemble. Secondary metrics (prediction throughput) are included as extra
+fields.
+
+`vs_baseline` is measured against SELF_BASELINE (the first recorded round-1
+value on this hardware); the reference publishes only relative CPU speedups
+(BASELINE.md) and no R runtime exists in this image to measure HIBAG
+directly.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# round-1 self-baseline (classifiers/s) recorded on first bench run; later
+# rounds report speedup relative to this.
+SELF_BASELINE_TRAIN = 0.5424
+SELF_BASELINE_PREDICT = 10155.0  # samples/s, 100-classifier HLA-A model
+
+
+def main():
+    import hibag_tpu
+    from hibag_tpu.data.allele import HLATypeTable
+    from hibag_tpu.io.rdata import read_rdata, r_to_py
+    from hibag_tpu.models.train import train
+    from hibag_tpu.models.predict import predict
+    from hibag_tpu.models.model import AttrBagModel
+
+    ht = r_to_py(read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = hibag_tpu.SNPGenoData.from_hibag_r(r_to_py(read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    hla = HLATypeTable.from_alleles(
+        ht["sample.id"], ht["A.1"], ht["A.2"], locus="A", assembly="hg19")
+
+    # ~1000 SNPs nearest the HLA-A locus (config[0] workload)
+    from hibag_tpu.data.allele import loci_info
+    _, start, end, _ = loci_info("hg19")["A"]
+    mid = (start + end) // 2
+    order = np.argsort(np.abs(geno.snp_position - mid))[:1000]
+    fg = geno.subset(snp_mask=np.sort(order))
+
+    # ---- training throughput -------------------------------------------
+    # warmup: compile all kernel shapes with a short run
+    train(hla, fg, n_classifiers=2, seed=1, verbose=False,
+          with_matching=False, hap_bucket=64)
+    n_cls = 25
+    t0 = time.time()
+    model = train(hla, fg, n_classifiers=n_cls, seed=100, verbose=False,
+                  with_matching=False, hap_bucket=64)
+    train_s = time.time() - t0
+    cls_per_s = n_cls / train_s
+
+    # ---- prediction throughput (100-classifier published model) ---------
+    ml = r_to_py(read_rdata(
+        "/root/reference/inst/extdata/ModelList.RData")["modellist"])
+    pub = AttrBagModel.from_hibag_obj(ml["A"], locus="A")
+    # tile the 60-sample panel to a 3840-sample batch
+    reps = 64
+    big = hibag_tpu.SNPGenoData(
+        genotype=np.tile(geno.genotype, (1, reps)),
+        sample_id=np.array([f"s{i}" for i in range(geno.n_samp * reps)],
+                           dtype=object),
+        snp_id=geno.snp_id, snp_position=geno.snp_position,
+        snp_allele=geno.snp_allele, assembly=geno.assembly)
+    predict(pub, big.subset(samp_mask=np.arange(256)), block=256)  # warmup
+    t0 = time.time()
+    res = predict(pub, big, block=256)
+    pred_s = time.time() - t0
+    samp_per_s = big.n_samp / pred_s
+
+    mean_oob = float(np.mean([c.oob_accuracy for c in model.classifiers]))
+    print(json.dumps({
+        "metric": "train_classifiers_per_s",
+        "value": round(cls_per_s, 4),
+        "unit": "classifiers/s",
+        "vs_baseline": round(cls_per_s / SELF_BASELINE_TRAIN, 3),
+        "train_seconds_25cls": round(train_s, 2),
+        "mean_oob_accuracy": round(mean_oob, 4),
+        "predict_samples_per_s": round(samp_per_s, 1),
+        "predict_vs_baseline": round(samp_per_s / SELF_BASELINE_PREDICT, 3),
+        "n_snp": int(fg.n_snp),
+        "n_samp": int(fg.n_samp),
+    }))
+
+
+if __name__ == "__main__":
+    main()

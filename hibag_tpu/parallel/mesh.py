@@ -1,0 +1,122 @@
+"""Multi-chip ensemble parallelism over a jax.sharding.Mesh.
+
+The reference scales out by training whole classifiers in independent R
+worker processes and concatenating them (hlaParallelAttrBagging +
+.DynamicClusterCall, reference R/HIBAG.R:293-451, R/DataUtilities.R:124-213),
+and by splitting samples across workers for prediction (R/HIBAG.R:764-807).
+
+TPU-native equivalent: a 1-D device mesh with axis "ens". Training shards a
+*batch of classifiers* (each with its own bootstrap and haplotype state)
+across devices — training data is replicated, so the greedy-step kernels run
+embarrassingly parallel and XLA inserts no cross-device traffic. Prediction
+shards classifiers and reduces the weighted ensemble posterior with a
+cross-device sum (all-reduce over ICI), replacing the reference's
+master-side prob merging (HIBAG_SumList / UpdateAddProbW / NormalizeProb,
+src/HIBAG.cpp:1463-1547).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import GENO_MISSING
+from ..models.em import (em_all_candidates, erase_rare, evaluate_candidates,
+                         match_pairs)
+from ..ops.scoring import posterior_scores, unordered_from_S
+
+
+def ensemble_mesh(devices=None, name: str = "ens") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (name,))
+
+
+def shard_ensemble(mesh: Mesh, tree, name: str = "ens"):
+    """Put classifier-major arrays (axis 0 = classifier) on the mesh."""
+    sh = NamedSharding(mesh, P(name))
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# batched (multi-classifier) greedy training step
+# ---------------------------------------------------------------------------
+
+def _grow_step_single(bits, freq, allele, geno_sel, B, g_cand, afreq,
+                      new_col, a1, a2, n_alleles, rare_prob, total_n):
+    """Device work of ONE greedy step for ONE classifier (no decisions)."""
+    valid = freq > 0
+    mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+    fA, fB, ll_em, _ = em_all_candidates(freq, valid, mask, B, g_cand,
+                                         afreq, total_n)
+    fA, fB = erase_rare(fA, fB, rare_prob)
+    is_oob = B == 0
+    acc, loss = evaluate_candidates(bits, allele, new_col, fA, fB, g_cand,
+                                    geno_sel, a1, a2, is_oob, B, n_alleles)
+    return fA, fB, acc, loss
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def batched_grow_step(bits, freq, allele, geno_sel, B, g_cand, afreq,
+                      new_col, a1, a2, rare_prob, total_n, n_alleles):
+    """One greedy step for a BATCH of classifiers (leading axis K).
+
+    bits [K,H,L]; freq [K,H]; allele [K,H]; geno_sel [K,N,L]; B [K,N];
+    g_cand [K,C,N]; afreq [K,C]; new_col [K] int32; a1/a2 [N] replicated.
+
+    With the K axis sharded over the mesh, XLA partitions the whole step
+    across devices with zero communication — the TPU analogue of the
+    reference's per-process classifier training.
+    """
+    fn = jax.vmap(_grow_step_single,
+                  in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None))
+    return fn(bits, freq, allele, geno_sel, B, g_cand, afreq, new_col,
+              a1, a2, n_alleles, rare_prob, total_n)
+
+
+# ---------------------------------------------------------------------------
+# sharded ensemble prediction
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def sharded_predict(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
+                    geno_codes, n_alleles):
+    """Ensemble posterior with classifiers sharded across devices.
+
+    hap_bits [C,Hm,L] (sharded on C), hap_freq [C,Hm], hap_allele [C,Hm],
+    snp_index [C,L]; snp_weight [P], geno_codes [N,P] (replicated).
+
+    Returns (ens [N,A,A] weight-normalized, wsum [N]) — the classifier sum
+    crosses the mesh axis, so XLA lowers it to an all-reduce over ICI.
+    """
+    A = n_alleles
+
+    def one_classifier(bits, freq, allele, sidx):
+        safe = jnp.maximum(sidx, 0)
+        in_cls = sidx >= 0
+        g = jnp.take(geno_codes, safe, axis=1)
+        g = jnp.where(in_cls[None, :], g, GENO_MISSING).astype(jnp.int8)
+        wsnp = jnp.take(snp_weight, safe) * in_cls
+        nonmiss = g != GENO_MISSING
+        w = ((nonmiss * wsnp[None, :]).sum(-1)
+             / jnp.maximum(wsnp.sum(), 1)).astype(jnp.float32)
+        res = posterior_scores(bits, freq, allele, g, A)
+        Q = unordered_from_S(res["S"])
+        contrib = Q * (w / res["total"])[:, None, None]
+        return contrib, w
+
+    contribs, ws = jax.vmap(one_classifier)(hap_bits, hap_freq, hap_allele,
+                                            snp_index)
+    ens = contribs.sum(0)           # cross-device reduction on the mesh
+    wsum = ws.sum(0)
+    return ens / jnp.maximum(wsum, 1e-30)[:, None, None], wsum
