@@ -18,7 +18,7 @@ import numpy as np
 
 # round-1 self-baseline (classifiers/s) recorded on first bench run; later
 # rounds report speedup relative to this.
-SELF_BASELINE_TRAIN = 0.5424
+SELF_BASELINE_TRAIN = 2.5
 SELF_BASELINE_PREDICT = 10155.0  # samples/s, 100-classifier HLA-A model
 
 
@@ -44,14 +44,16 @@ def main():
     order = np.argsort(np.abs(geno.snp_position - mid))[:1000]
     fg = geno.subset(snp_mask=np.sort(order))
 
-    # ---- training throughput -------------------------------------------
-    # warmup: compile all kernel shapes with a short run
-    train(hla, fg, n_classifiers=2, seed=1, verbose=False,
-          with_matching=False, hap_bucket=64)
+    # ---- training throughput (device-batched classifier streams) --------
+    from hibag_tpu.models.train import train_parallel
     n_cls = 25
+    # warmup run: compiles every (K, Hcap) kernel shape
+    train_parallel(hla, fg, n_classifiers=n_cls, batch=n_cls, seed=1,
+                   verbose=False, with_matching=False, hap_bucket=64)
     t0 = time.time()
-    model = train(hla, fg, n_classifiers=n_cls, seed=100, verbose=False,
-                  with_matching=False, hap_bucket=64)
+    model = train_parallel(hla, fg, n_classifiers=n_cls, batch=n_cls,
+                           seed=100, verbose=False, with_matching=False,
+                           hap_bucket=64)
     train_s = time.time() - t0
     cls_per_s = n_cls / train_s
 

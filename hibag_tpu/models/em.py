@@ -195,60 +195,74 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
     """Score every candidate: OOB best-guess accuracy + in-bag -2logLik.
 
     bits [H, L] base haplotype bits (selected SNPs in cols 0..n_snp-1);
-    allele [H]; new_col static column index for the candidate SNP;
-    fA/fB [C, H] post-erase freqs (0 = dropped); g_cand_eval [C, Neval]
-    candidate-SNP genotypes for eval samples; geno_sel_eval [Neval, L];
-    true_a1/true_a2 [Neval] (a1<=a2); is_oob [Neval] bool; B [Neval]
-    bootstrap counts (0 for OOB/padded).
+    allele [H]; new_col (unused: the candidate column factorizes out, kept
+    for API stability); fA/fB [C, H] post-erase freqs (0 = dropped);
+    g_cand_eval [C, Neval] candidate-SNP genotypes for eval samples;
+    geno_sel_eval [Neval, L]; true_a1/true_a2 [Neval] (a1<=a2);
+    is_oob [Neval] bool; B [Neval] bootstrap counts (0 for OOB).
 
-    Returns (acc_count [C] int32: per OOB sample 0/1/2 summed;
+    Returns (acc_count [C] int32: per-OOB-sample 0/1/2 summed;
              loglik [C]: -2 sum B*log postprob(true pair)).
 
-    Mirrors _OutOfBagAccuracy / _InBagLogLik (src/LibHLA.cpp:1934-1979).
+    Mirrors _OutOfBagAccuracy / _InBagLogLik (src/LibHLA.cpp:1934-1979), but
+    exploits that the doubled list's pairwise distance decomposes as
+    D[(i,b1),(j,b2)] = D_base(i,j) + delta(g, b1+b2), so pen = exp(λD)
+    factorizes: the expensive [Neval,H,H] penalty matrix is computed ONCE for
+    all candidates, and each candidate contributes only 2x2 bilinear-form
+    combinations reweighted by q^delta.
     """
     C, H = fA.shape
     Neval = geno_sel_eval.shape[0]
     A = n_alleles
+    q = MIN_RARE_FREQ
 
-    bits0 = bits.at[:, new_col].set(0.0)
-    bits1 = bits.at[:, new_col].set(1.0)
-    bits2 = jnp.concatenate([bits0, bits1], axis=0)     # [2H, L]
-    allele2 = jnp.concatenate([allele, allele])         # [2H]
+    # shared penalty matrix over base haplotypes (selected SNPs only)
+    D = pair_distance(bits, geno_sel_eval)              # [Neval, H, H]
+    ok = (fA > 0) | (fB > 0)                            # [C, H]
+    base_ok = jnp.any(ok, axis=0)                       # [H]
+    pair_ok = base_ok[:, None] & base_ok[None, :]
+    Dm = jnp.where(pair_ok[None], D, BIG)
+    dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)      # [Neval,1,1]
+    Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
+    Pen = jnp.where(pair_ok[None], Pen, 0.0)            # [Neval, H, H]
 
-    def per_candidate(fa, fb, g_cand):
-        freq2 = jnp.concatenate([fa, fb])               # [2H]
-        geno = geno_sel_eval.at[:, new_col].set(g_cand)  # [Neval, L]
-        D = pair_distance(bits2, geno)                  # [Neval, 2H, 2H]
-        ok = (freq2 > 0)
-        pair_ok = ok[:, None] & ok[None, :]
-        Dm = jnp.where(pair_ok[None], D, BIG)
-        dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
-        pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
-        pen = jnp.where(pair_ok[None], pen, 0.0)
-        W = jax.nn.one_hot(allele2, A, dtype=pen.dtype) * freq2[:, None]
-        S = jnp.einsum("ha,nhg,gb->nab", W, pen, W,
-                       preferred_element_type=jnp.float32)  # [Neval, A, A]
-        total = S.sum((1, 2))
-        # best guess: first max over upper triangle in row-major order ==
-        # full-matrix argmax (symmetric; upper entry precedes its mirror)
-        flat = S.reshape(Neval, A * A)
-        b = jnp.argmax(flat, axis=1)
-        g1, g2 = b // A, b % A
-        g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
-        # CHLATypeList::Compare (src/LibHLA.cpp:911-924)
-        p1, p2, t1, t2 = g1, g2, true_a1, true_a2
-        m1 = (p1 == t1) | (p1 == t2)
-        t1u = jnp.where(m1 & (p1 == t1), -1, t1)
-        t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
-        m2 = (p2 == t1u) | (p2 == t2u)
-        cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
-        acc = jnp.where(is_oob & (total > 0), cnt, 0).sum()
-        # in-bag log-lik of true pair: postprob = Q[t1,t2]/total
-        q = S[jnp.arange(Neval), true_a1, true_a2]
-        q = q * jnp.where(true_a1 == true_a2, 1.0, 2.0)
-        post = q / jnp.maximum(total, 1e-37)
-        ll = -2.0 * (B * jnp.log(jnp.maximum(post, 1e-37))).sum()
-        return acc, ll
+    # per-candidate allele-grouped weight matrices for bit 0/1
+    onehot = jax.nn.one_hot(allele, A, dtype=Pen.dtype)  # [H, A]
+    Mf = jnp.stack([fA, fB], axis=1)[..., None] * onehot[None, None]
+    # Mf: [C, 2, H, A]
+    T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
+                   preferred_element_type=jnp.float32)   # [C,Neval,2,H,A]
+    Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
+                    preferred_element_type=jnp.float32)  # [C,N,2,2,A,A]
+    # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d table):
+    # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
+    g = g_cand_eval                                      # [C, Neval]
+    s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]])         # b1+b2
+    delta = jnp.select(
+        [g[..., None, None] == 0, g[..., None, None] == 1,
+         g[..., None, None] == 2],
+        [s_grid[None, None], jnp.abs(s_grid - 1.0)[None, None],
+         (2.0 - s_grid)[None, None]],
+        jnp.zeros((1, 1, 2, 2)))                         # [C,Neval,2,2]
+    pd = jnp.exp(LOG_MIN_RARE_FREQ * delta)
+    S = jnp.einsum("cnbe,cnbeAB->cnAB", pd, Sb)          # [C,Neval,A,A]
 
-    accs, lls = jax.vmap(per_candidate)(fA, fB, g_cand_eval)
+    total = S.sum((2, 3))                                # [C, Neval]
+    flat = S.reshape(C, Neval, A * A)
+    b = jnp.argmax(flat, axis=2)
+    g1, g2 = b // A, b % A
+    g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
+    # CHLATypeList::Compare (src/LibHLA.cpp:911-924)
+    p1, p2, t1, t2 = g1, g2, true_a1[None, :], true_a2[None, :]
+    m1 = (p1 == t1) | (p1 == t2)
+    t1u = jnp.where(m1 & (p1 == t1), -1, t1)
+    t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
+    m2 = (p2 == t1u) | (p2 == t2u)
+    cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+    accs = jnp.where(is_oob[None] & (total > 0), cnt, 0).sum(1)
+    # in-bag log-lik of the true pair
+    tq = S[:, jnp.arange(Neval), true_a1, true_a2]
+    tq = tq * jnp.where(true_a1 == true_a2, 1.0, 2.0)[None]
+    post = tq / jnp.maximum(total, 1e-37)
+    lls = -2.0 * (B[None] * jnp.log(jnp.maximum(post, 1e-37))).sum(1)
     return accs, lls

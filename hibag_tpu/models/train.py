@@ -274,6 +274,241 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
     )
 
 
+def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
+                         prune: bool = True, mesh=None,
+                         verbose: bool = False) -> list:
+    """Grow K classifiers in lockstep, batching device work per greedy step.
+
+    The TPU replacement for the reference's process-parallel ensemble
+    training (hlaParallelAttrBagging, R/HIBAG.R:293-451): every greedy step
+    runs `batched_grow_step` over the classifier axis — sharded across the
+    mesh when one is given — while the host applies each classifier's
+    accept/stop/prune decisions independently. Classifiers that finish early
+    ride along as no-ops until the batch drains. Each classifier consumes
+    its own RNG stream (the reference's cluster mode likewise switches to
+    per-worker L'Ecuyer streams).
+    """
+    from ..parallel.mesh import batched_grow_step
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    K = len(rngs)
+    N, Pn = ctx.n_samp, ctx.n_snp
+    L = MAXNUM_SNP
+    rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
+
+    Bs = np.stack([r.bootstrap_counts(N) for r in rngs])   # [K, N]
+    states = [_init_haplotype(ctx, Bs[k]) for k in range(K)]
+    snp_sels: list[list[int]] = [[] for _ in range(K)]
+    geno_sel = np.full((K, N, L), GENO_MISSING, dtype=np.int8)
+    samplings = [SamplingWithoutReplace(Pn) for _ in range(K)]
+    gmax_acc = [0] * K
+    gmin_loss = [1e30] * K
+    done = [False] * K
+    n_oob = (Bs == 0).sum(1)
+
+    shard = None
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("ens"))
+
+    def put(x):
+        a = jnp.asarray(x)
+        return jax.device_put(a, shard) if shard is not None else a
+
+    while not all(done):
+        Hs = [len(s.freq) for s in states]
+        Hcap = _round_up(max(Hs), ctx.hap_bucket)
+        bits = np.zeros((K, Hcap, L), dtype=np.float32)
+        freq = np.zeros((K, Hcap), dtype=np.float32)
+        allele = np.zeros((K, Hcap), dtype=np.int32)
+        for k, s in enumerate(states):
+            bits[k, :Hs[k], :s.bits.shape[1]] = s.bits
+            freq[k, :Hs[k]] = s.freq
+            allele[k, :Hs[k]] = s.allele
+
+        cands_k: list[list] = []
+        cand_idx = np.zeros((K, mtry), dtype=np.int64)
+        for k in range(K):
+            if done[k]:
+                cands_k.append([])
+                continue
+            samplings[k].random_select(mtry, rngs[k])
+            c = samplings[k].selection()
+            cands_k.append(c)
+            cand_idx[k, :len(c)] = c
+
+        g_cand = np.take(ctx.geno, cand_idx, axis=1)       # [N, K, Cm]
+        g_cand = np.moveaxis(g_cand, 0, 2).astype(np.int8)  # [K, Cm, N]
+        gv = g_cand.astype(np.int64)
+        okg = gv <= 2
+        allele_cnt = np.einsum("kcn,kn->kc", np.where(okg, gv, 0), Bs)
+        valid_cnt = 2 * np.einsum("kcn,kn->kc", okg, Bs)
+        cand_ok = (allele_cnt > 0) & (allele_cnt < valid_cnt)
+        for k in range(K):
+            cand_ok[k, len(cands_k[k]):] = False
+        afreq = np.where(cand_ok, allele_cnt / np.maximum(valid_cnt, 1), 0.5)
+        new_col = np.array([len(s) for s in snp_sels], dtype=np.int32)
+
+        fA, fB, acc_b, loss_b = batched_grow_step(
+            put(bits), put(freq), put(allele), put(geno_sel),
+            put(Bs.astype(np.float32)), put(g_cand),
+            put(afreq.astype(np.float32)), put(new_col),
+            jnp.asarray(ctx.a1), jnp.asarray(ctx.a2),
+            rare_prob, float(N), ctx.n_alleles)
+        fA = np.asarray(fA, dtype=np.float64)
+        fB = np.asarray(fB, dtype=np.float64)
+        acc_b = np.asarray(acc_b)
+        loss_b = np.asarray(loss_b, dtype=np.float64)
+
+        for k in range(K):
+            if done[k]:
+                continue
+            cands = cands_k[k]
+            max_acc, min_loss, min_i = gmax_acc[k], gmin_loss[k], -1
+            for i in range(len(cands)):
+                if not cand_ok[k, i]:
+                    continue
+                acc = int(acc_b[k, i])
+                loss = float(loss_b[k, i]) if acc >= max_acc else 0.0
+                if acc > max_acc:
+                    min_i, min_loss, max_acc = i, loss, acc
+                elif acc == max_acc and loss < min_loss:
+                    min_i, min_loss = i, loss
+                if prune:
+                    if acc < gmax_acc[k]:
+                        samplings[k].set_selected(i, -1)
+                    elif acc == gmax_acc[k]:
+                        if loss > gmin_loss[k] * (1 + PRUNE_RELTOL_LOGLIK) \
+                                and min_i != i:
+                            samplings[k].set_selected(i, -1)
+
+            if max_acc > gmax_acc[k]:
+                sign = True
+            elif max_acc == gmax_acc[k] and min_i >= 0:
+                sign = (min_loss >= STOP_RELTOL_LOGLIK_ADDSNP and
+                        min_loss < gmin_loss[k] * (1 - STOP_RELTOL_LOGLIK_ADDSNP))
+            else:
+                sign = False
+
+            if sign:
+                gmax_acc[k], gmin_loss[k] = max_acc, min_loss
+                st = states[k]
+                H = Hs[k]
+                fa, fb = fA[k, min_i, :H], fB[k, min_i, :H]
+                n_old = len(snp_sels[k])
+                new_bits, new_freq, new_allele = [], [], []
+                for h in range(H):
+                    base = st.bits[h] if n_old else np.zeros(0, np.uint8)
+                    if fa[h] > 0:
+                        new_bits.append(np.append(base, 0).astype(np.uint8))
+                        new_freq.append(fa[h])
+                        new_allele.append(st.allele[h])
+                    if fb[h] > 0:
+                        new_bits.append(np.append(base, 1).astype(np.uint8))
+                        new_freq.append(fb[h])
+                        new_allele.append(st.allele[h])
+                states[k] = _HaploState(
+                    bits=np.asarray(new_bits, dtype=np.uint8),
+                    freq=np.asarray(new_freq, dtype=np.float64),
+                    allele=np.asarray(new_allele, dtype=np.int32))
+                chosen = cands[min_i]
+                snp_sels[k].append(int(chosen))
+                geno_sel[k, :, n_old] = ctx.geno[:, chosen]
+                if prune:
+                    samplings[k].set_selected(min_i, -1)
+                    samplings[k].remove_flagged()
+                else:
+                    samplings[k].remove(min_i)
+            else:
+                samplings[k].remove_selection()
+
+            if samplings[k].total() == 0 or len(snp_sels[k]) >= MAXNUM_SNP:
+                done[k] = True
+
+    out = []
+    for k in range(K):
+        out.append(Classifier(
+            snp_index=np.asarray(snp_sels[k], dtype=np.int32),
+            hap_bits=states[k].bits,
+            hap_freq=states[k].freq,
+            hap_allele=states[k].allele,
+            bootstrap_count=Bs[k].astype(np.int32),
+            oob_accuracy=float(0.5 * gmax_acc[k] / max(int(n_oob[k]), 1)),
+        ))
+    return out
+
+
+def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
+                   mtry="sqrt", prune: bool = True, seed: int = 100,
+                   batch: Optional[int] = None, mesh=None,
+                   na_rm: bool = True, mono_rm: bool = True,
+                   maf: float = float("nan"), verbose: bool = True,
+                   with_matching: bool = True, hap_bucket: int = 64,
+                   auto_save: Optional[str] = None) -> AttrBagModel:
+    """Parallel ensemble training (hlaParallelAttrBagging equivalent).
+
+    Trains classifiers in device-batched groups of `batch` (default: one per
+    mesh device, or 8). With `auto_save`, writes the partial model after
+    every batch — the reference's incremental-checkpoint behavior
+    (R/HIBAG.R:359-422).
+    """
+    import jax
+    ctx, alleles, _ = make_training_context(
+        hla_table, geno_data, na_rm=na_rm, mono_rm=mono_rm, maf=maf,
+        hap_bucket=hap_bucket)
+    m = _resolve_mtry(mtry, ctx.n_snp)
+    if batch is None:
+        batch = len(mesh.devices.flat) if mesh is not None \
+            else min(8, max(1, len(jax.devices())))
+
+    classifiers: list = []
+    k0 = 0
+    model = None
+    while len(classifiers) < n_classifiers:
+        kb = min(batch, n_classifiers - len(classifiers))
+        rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
+                for j in range(kb)]
+        t0 = time.time()
+        cls = train_parallel_batch(ctx, rngs, m, prune=prune, mesh=mesh)
+        classifiers.extend(cls)
+        k0 += kb
+        if verbose:
+            oob = np.mean([c.oob_accuracy for c in cls])
+            print(f"-- #{len(classifiers)}, batch of {kb} in "
+                  f"{time.time() - t0:.2f}s, avg oob acc: {oob * 100:.2f}%")
+        if auto_save:
+            _partial_model(ctx, alleles, hla_table, geno_data,
+                           classifiers).save(auto_save)
+
+    model = _partial_model(ctx, alleles, hla_table, geno_data, classifiers)
+    if with_matching:
+        from .predict import predict
+        pd = predict(model, geno_data, match_type="Pos+Allele")
+        model.matching = pd.matching
+        if auto_save:
+            model.save(auto_save)
+    return model
+
+
+def _partial_model(ctx, alleles, hla_table, geno_data, classifiers):
+    g = ctx.geno.astype(np.float64)
+    miss = g >= GENO_MISSING
+    with np.errstate(invalid="ignore"):
+        afreq = (np.where(miss, 0, g).sum(0)
+                 / np.maximum(2.0 * (~miss).sum(0), 1))
+    hla_freq = np.zeros(len(alleles))
+    for a in (ctx.a1, ctx.a2):
+        np.add.at(hla_freq, a, 1)
+    hla_freq /= max(hla_freq.sum(), 1)
+    return AttrBagModel(
+        locus=hla_table.locus,
+        snp_id=ctx.snp_id, snp_position=ctx.snp_position,
+        snp_allele=ctx.snp_allele, snp_allele_freq=afreq,
+        hla_alleles=list(alleles), hla_freq=hla_freq,
+        assembly=geno_data.assembly, sample_id=ctx.sample_id,
+        classifiers=list(classifiers))
+
+
 def make_training_context(hla_table, geno_data, na_rm: bool = True,
                           mono_rm: bool = True, maf: float = float("nan"),
                           hap_bucket: int = 32) -> tuple:

@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from hibag_tpu.data.allele import HLATypeTable
+from hibag_tpu.models.model import AttrBagModel
+from hibag_tpu.models.predict import predict
+from hibag_tpu.models.publish import (model_files, out_of_bag, pred_merge,
+                                      publish)
+
+
+@pytest.fixture(scope="module")
+def model(model_list):
+    return AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+
+
+def test_publish_drops_unused_snps(model, hapmap_geno):
+    pub = publish(model, platform="HapMap", anonymize=True)
+    assert pub.n_snp <= model.n_snp
+    assert pub.sample_id is None
+    assert all(c.bootstrap_count is None for c in pub.classifiers)
+    assert pub.appendix["platform"] == "HapMap"
+    # reindexed model predicts identically
+    r1 = predict(model, hapmap_geno)
+    r2 = predict(pub, hapmap_geno)
+    np.testing.assert_array_equal(r1.allele1, r2.allele1)
+    np.testing.assert_array_equal(r1.allele2, r2.allele2)
+    np.testing.assert_allclose(r1.prob, r2.prob, rtol=1e-5)
+
+
+def test_model_files_combine(model, tmp_path):
+    a = model.subset_classifiers(3)
+    b = AttrBagModel(**{**model.__dict__})
+    b.classifiers = model.classifiers[3:6]
+    a.save(str(tmp_path / "m1.npz"))
+    b.save(str(tmp_path / "m2.npz"))
+    m = model_files([str(tmp_path / "m*.npz")])
+    assert m.n_classifiers == 6
+
+
+def test_pred_merge_identity(model, hapmap_geno):
+    """Merging a prediction with itself must reproduce it."""
+    r = predict(model, hapmap_geno, with_prob=True)
+    m = pred_merge([r, r], ret_postprob=True)
+    np.testing.assert_array_equal(m.allele1, r.allele1)
+    np.testing.assert_array_equal(m.allele2, r.allele2)
+    np.testing.assert_allclose(m.prob, r.prob, rtol=1e-6)
+    np.testing.assert_allclose(m.dosage.sum(0), 2.0, atol=1e-6)
+
+
+def test_pred_merge_disjoint_weight(model, hapmap_geno):
+    r = predict(model, hapmap_geno, with_prob=True)
+    # zero weight on second copy changes nothing
+    m = pred_merge([r, r], weight=[1.0, 0.0])
+    np.testing.assert_array_equal(m.allele1, r.allele1)
+
+
+def test_out_of_bag(model, hapmap_geno, hla_types):
+    truth = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"],
+        locus="A")
+    sub = AttrBagModel(**{**model.__dict__})
+    sub.classifiers = model.classifiers[:5]
+    res = out_of_bag(sub, truth, hapmap_geno)
+    assert 0.5 <= res["overall"]["acc.haplo"] <= 1.0
+    assert res["confusion"].shape[1] == model.n_alleles
