@@ -1,0 +1,135 @@
+"""Fused Pallas TPU kernel for posterior scoring.
+
+Computes, per sample n against one classifier's haplotype list,
+
+    S_n = Wᵀ · exp(λ·(D_n − dmin_n)) · W,   D_n = α_n + v_n⊕v_n + 2·(H∘m_n)Hᵀ
+
+in one kernel invocation per sample block: the [H,H] distance/penalty matrix
+lives only in VMEM scratch (never HBM), the cross term and the two
+allele-grouping contractions all run on the MXU, and the per-sample
+min-distance shift keeps f32 exact. This is the TPU replacement for the
+reference's AVX-512 popcount scoring loops (src/LibHLA_ext_avx512*.cpp) and
+the HBM-bandwidth fix for the jnp reference path in ops/scoring.py (which
+materializes [N,H,H] penalties).
+
+Layout requirements: H and A padded to multiples of 128 (MXU tile), L = 128.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import LOG_MIN_RARE_FREQ
+
+NB = 8          # samples per grid step
+BIG = 1e9
+
+
+def _kernel(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
+            s_out, dmin_out, total_out, hm_s, d_s, t_s):
+    hb = hb_ref[:]                       # [H, L]
+    w = w_ref[:]                         # [H, A]
+    invalid = 1.0 - valid_ref[:]         # [H, 1]
+    # v[h, s] = sum_l hb[h,l] * u[s,l]
+    v = jnp.dot(hb, u_ref[:].T, preferred_element_type=jnp.float32)  # [H, NB]
+
+    for s in range(NB):
+        hm_s[:] = hb * m1_ref[s, :][None, :]
+        d_s[:] = 2.0 * jnp.dot(hm_s[:], hb.T,
+                               preferred_element_type=jnp.float32)
+        D = (alpha_ref[s, 0] + v[:, s:s + 1] + v[:, s][None, :] + d_s[:]
+             + BIG * invalid + BIG * invalid.T)
+        dmin = jnp.min(D)
+        pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
+        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32)  # [H, A]
+        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32)  # [A, A]
+        s_out[s] = S
+        dmin_out[pl.ds(s, 1), :] = dmin.reshape(1, 1)
+        total_out[pl.ds(s, 1), :] = jnp.sum(S).reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def posterior_scores_pallas(hap_bits, W, valid, alpha, u, m1,
+                            interpret=False):
+    """S [N, A, A], dmin [N], total [N] for one classifier.
+
+    hap_bits [H, L] f32 {0,1}; W [H, A] f32 = freq ⊙ one-hot(allele);
+    valid [H] f32 (1 = real haplotype slot); alpha [N]; u [N, L]; m1 [N, L]
+    (geno_coefficients output). H, A multiples of 128; N multiple of NB.
+    """
+    H, L = hap_bits.shape
+    A = W.shape[1]
+    N = alpha.shape[0]
+    assert H % 128 == 0 and A % 128 == 0 and N % NB == 0, (H, A, N)
+
+    grid = (N // NB,)
+    S, dmin, total = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((H, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, A, A), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, A, A), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, L), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((H, A), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * (H * L + H * H * L + 2 * H * H * A),
+            bytes_accessed=N * (A * A + 2 * L) * 4 + (H * L + H * A) * 4,
+            transcendentals=N * H * H,
+        ),
+        interpret=interpret,
+    )(hap_bits, W, valid[:, None], alpha[:, None], u, m1)
+    return S, dmin[:, 0], total[:, 0]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def classifier_posteriors(hap_bits, hap_freq, hap_allele, geno_codes,
+                          n_alleles, interpret=False):
+    """Drop-in equivalent of ops.scoring.posterior_scores built on the
+    fused kernel: handles padding to kernel layout requirements."""
+    from .scoring import geno_coefficients
+
+    H, L = hap_bits.shape
+    N = geno_codes.shape[0]
+    Hp = _round_up(H, 128)
+    Ap = _round_up(n_alleles, 128)
+    Np = _round_up(N, NB)
+
+    hb = jnp.zeros((Hp, L), jnp.float32).at[:H].set(hap_bits.astype(jnp.float32))
+    W = jnp.zeros((Hp, Ap), jnp.float32).at[:H].set(
+        jax.nn.one_hot(hap_allele, Ap, dtype=jnp.float32)
+        * hap_freq[:, None].astype(jnp.float32))
+    valid = jnp.zeros((Hp,), jnp.float32).at[:H].set(
+        (hap_freq > 0).astype(jnp.float32))
+    g = jnp.full((Np, L), 3, jnp.int8).at[:N].set(geno_codes.astype(jnp.int8))
+    alpha, u, m1 = geno_coefficients(g, jnp.float32)
+    S, dmin, total = posterior_scores_pallas(hb, W, valid, alpha, u, m1,
+                                             interpret=interpret)
+    return {"S": S[:N, :n_alleles, :n_alleles], "dmin": dmin[:N],
+            "total": total[:N]}

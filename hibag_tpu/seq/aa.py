@@ -1,0 +1,265 @@
+"""HLA allele → amino-acid sequence conversion (IMGT/HLA alignments).
+
+Equivalent of hlaConvSequence / summary.hlaAASeqClass (reference
+R/SeqFormat.R) with the native consensus/dot helpers (HIBAG_SeqMerge /
+HIBAG_SeqRmDot, src/HIBAG.cpp:1197-1278).
+
+The IMGT/HLA alignment data is licensed third-party data and is NOT bundled
+here; point ``data_dir`` at a release directory laid out like the
+reference's ``inst/extdata/v3.22.0`` (SeqAlign/<locus>_prot.txt[.xz],
+hla_nom_p.txt[.xz], hla_nom_g.txt[.xz], FeatureInfo.txt).
+
+Sequence pattern conventions (IMGT): '-' = identical to reference,
+letter = substitution, '.' = indel, '*' = unknown.
+"""
+
+from __future__ import annotations
+
+import lzma
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import numpy as np
+
+HLA_LOCI = ("A", "B", "C", "DRB1", "DQA1", "DQB1", "DPB1", "DPA1")
+
+
+def _read_lines(path: str) -> list[str]:
+    for p in (path, path + ".xz"):
+        if os.path.exists(p):
+            op = lzma.open if p.endswith(".xz") else open
+            with op(p, "rt") as f:
+                return f.read().splitlines()
+    raise FileNotFoundError(path)
+
+
+@lru_cache(maxsize=32)
+def _codes(data_dir: str, kind: str) -> dict:
+    """P-code/G-code table: code string → list of member alleles."""
+    lines = _read_lines(os.path.join(data_dir, f"hla_nom_{kind}.txt"))
+    out = {}
+    for ln in lines:
+        if ln.startswith("#") or not ln.strip():
+            continue
+        parts = ln.split(";")
+        a1, a2 = parts[0], parts[1]
+        a3 = parts[2] if len(parts) > 2 and parts[2] else a2
+        out[a1 + a3] = a2.split("/")
+    return out
+
+
+@lru_cache(maxsize=32)
+def _feature(data_dir: str):
+    lines = _read_lines(os.path.join(data_dir, "FeatureInfo.txt"))
+    rows = []
+    hdr = None
+    for ln in lines:
+        if ln.startswith("#") or not ln.strip():
+            continue
+        if hdr is None:
+            hdr = ln.split("\t")
+            continue
+        rows.append(dict(zip(hdr, ln.split("\t"))))
+    return rows
+
+
+@lru_cache(maxsize=16)
+def protein_alignment(locus: str, data_dir: str) -> dict:
+    """Parse a <locus>_prot.txt alignment (reference .protein,
+    R/SeqFormat.R:102-170). Returns dict with reference sequence, start
+    offset of position 1, allele names, per-allele pattern strings, and
+    exon features in amino-acid coordinates."""
+    lines = _read_lines(os.path.join(data_dir, "SeqAlign",
+                                     f"{locus.lower()}_prot.txt"))
+    s1 = lines[6].rstrip()
+    s2 = lines[7].rstrip()
+    if not s1.endswith("1"):
+        raise ValueError("unexpected alignment header format")
+    first = lines[8]
+    tok = first.split()[0]
+    ss = first.replace(tok, " " * len(tok), 1)[:len(s2)]
+    start = len(ss.replace(" ", ""))
+
+    head = f" {locus}*"
+    chunks: dict[str, list[str]] = {}
+    order: list[str] = []
+    for ln in lines:
+        if not ln.startswith(head):
+            continue
+        v = ln[1:].split()
+        name, seq = v[0], "".join(v[1:])
+        if name not in chunks:
+            chunks[name] = []
+            order.append(name)
+        chunks[name].append(seq)
+
+    alleles = order
+    seqs = ["".join(chunks[a]) for a in alleles]
+    reference = seqs[0]
+    seqs[0] = "-" * len(reference)
+
+    # remove reference-deletion columns (except DQB1, whose reference has
+    # genuine deletions — reference behavior, R/SeqFormat.R:141-146)
+    if locus != "DQB1" and "." in reference:
+        keep = [i for i, ch in enumerate(reference) if ch != "."]
+        seqs = ["".join(s[i] for i in keep if i < len(s)) for s in seqs]
+        reference = "".join(reference[i] for i in keep)
+
+    # exon features in AA coordinates (cumulative nucleotide → codon)
+    fea = [f for f in _feature(data_dir) if f["id"] == locus
+           and f["name"].startswith("Exon ")]
+    lens = [int(f["end"]) - int(f["start"]) + 1 for f in fea]
+    cum = np.cumsum(lens)
+    ends = (cum // 3) + (cum % 3)
+    starts = np.concatenate([[1], cum[:-1] + 1])
+    starts = (starts + 2) // 3
+    features = [{"id": f["name"], "start": int(st), "end": int(en)}
+                for f, st, en in zip(fea, starts, ends)]
+    # strip allele names to the part after '*'
+    names = [a.split("*", 1)[1] for a in alleles]
+    return {"reference": reference, "start": start, "allele": names,
+            "sequence": seqs, "feature": features}
+
+
+def seq_merge(seqs: Sequence[str]) -> Optional[str]:
+    """Consensus with '*' at disagreeing/short positions (HIBAG_SeqMerge)."""
+    if not seqs:
+        return None
+    nmax = max(len(s) for s in seqs)
+    out = list(seqs[0]) + ["*"] * (nmax - len(seqs[0]))
+    for s in seqs[1:]:
+        for j in range(nmax):
+            if j >= len(s) or (j < len(s) and s[j] != out[j]):
+                out[j] = "*"
+    return "".join(out)
+
+
+def _region_bounds(locus: str, region: str, prot: dict):
+    if region in ("P.code", "G.code"):
+        fea = prot["feature"]
+        if locus in ("A", "B", "C"):
+            return fea[1]["start"], fea[2]["end"]
+        return fea[1]["start"], fea[1]["end"]
+    return None
+
+
+def conv_sequence(alleles, locus: str, data_dir: str,
+                  code: str = "exact", region: str = "auto",
+                  replace: Optional[dict] = None):
+    """Map allele strings to amino-acid pattern strings (hlaConvSequence).
+
+    code: 'exact' | 'P.code' | 'G.code' | 'P.code.merge' | 'G.code.merge'.
+    Returns a list parallel to `alleles`: a string (exact/merged), a dict of
+    {member: seq} for ambiguous unmerged codes, or None if unmatched.
+    """
+    if locus not in HLA_LOCI:
+        raise ValueError(f"locus must be one of {HLA_LOCI}")
+    if region == "auto":
+        region = {"exact": "all", "P.code": "P.code",
+                  "P.code.merge": "P.code", "G.code": "G.code",
+                  "G.code.merge": "G.code"}[code]
+    prot = protein_alignment(locus, data_dir)
+    seq_by_allele = dict(zip(prot["allele"], prot["sequence"]))
+
+    def lookup(h):
+        if replace and h in replace:
+            h = replace[h]
+        s = seq_by_allele.get(h)
+        if s is not None:
+            return {h: s}
+        if code in ("P.code", "P.code.merge", "G.code", "G.code.merge"):
+            kind = "p" if code.startswith("P") else "g"
+            table = _codes(data_dir, kind)
+            suffix = "P" if kind == "p" else "G"
+            key = f"{locus}*{h}"
+            members = table.get(key) or table.get(key + suffix)
+            if members:
+                got = {m: seq_by_allele[m] for m in members
+                       if m in seq_by_allele}
+                if got:
+                    return got
+        return None
+
+    bounds = _region_bounds(locus, region, prot)
+    out = []
+    for h in alleles:
+        if h is None:
+            out.append(None)
+            continue
+        m = lookup(str(h))
+        if m is None:
+            out.append(None)
+            continue
+        if bounds:
+            m = {k: v[bounds[0] - 1:bounds[1]] for k, v in m.items()}
+        if code in ("exact", "P.code.merge", "G.code.merge"):
+            out.append(seq_merge(list(m.values())))
+        else:
+            out.append(m if len(m) > 1 else next(iter(m.values())))
+    return out
+
+
+@dataclass
+class AASeqTable:
+    """Per-sample amino-acid sequences (hlaAASeqClass equivalent)."""
+
+    locus: str
+    sample_id: np.ndarray
+    allele1: np.ndarray     # object [N] of pattern strings (or None)
+    allele2: np.ndarray
+    start_position: int
+    reference: str
+    prob: Optional[np.ndarray] = None
+
+    def residue_table(self, poly_only: bool = True) -> dict:
+        """Per-position residue counts (summary.hlaAASeqClass)."""
+        seqs = [s for s in np.concatenate([self.allele1, self.allele2])
+                if s is not None]
+        if not seqs:
+            return {"pos": np.zeros(0, int)}
+        n = max(len(s) for s in seqs)
+        mat = np.full((len(seqs), n), "", dtype="U1")
+        for i, s in enumerate(seqs):
+            mat[i, :len(s)] = list(s)
+        chars = sorted({c for c in mat.ravel() if c})
+        counts = {c: (mat == c).sum(0) for c in chars}
+        num = (mat != "").sum(0)
+        pos = np.arange(1, n + 1) - self.start_position + 1
+        keep = np.ones(n, dtype=bool)
+        if poly_only and "-" in counts:
+            keep = num != counts["-"]
+        return {"pos": pos[keep], "num": num[keep],
+                **{c: v[keep] for c, v in counts.items()}}
+
+
+def convert_table(hla_table, data_dir: str, code: str = "exact",
+                  region: str = "auto",
+                  replace: Optional[dict] = None) -> AASeqTable:
+    """hlaConvSequence on an HLATypeTable → AASeqTable."""
+    if code in ("P.code", "G.code"):
+        raise ValueError("use 'exact', 'P.code.merge' or 'G.code.merge' "
+                         "for table conversion")
+    locus = hla_table.locus
+    prot = protein_alignment(locus, data_dir)
+    n = hla_table.n_samp
+    both = conv_sequence(
+        list(hla_table.allele1) + list(hla_table.allele2), locus, data_dir,
+        code=code, region=region, replace=replace)
+    if region == "auto":
+        region = "all" if code == "exact" else \
+            ("P.code" if "P" in code else "G.code")
+    bounds = _region_bounds(locus, region, prot)
+    if bounds is None:
+        start = prot["start"]
+        ref = prot["reference"]
+    else:
+        start = prot["start"] - bounds[0] + 1
+        ref = prot["reference"][bounds[0] - 1:bounds[1]]
+    return AASeqTable(
+        locus=locus, sample_id=hla_table.sample_id,
+        allele1=np.array(both[:n], dtype=object),
+        allele2=np.array(both[n:], dtype=object),
+        start_position=start, reference=ref,
+        prob=hla_table.prob)
