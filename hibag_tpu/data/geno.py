@@ -171,16 +171,18 @@ def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
     Mirrors hlaPredict's SNP matching + hlaGenoSwitchStrand
     (reference R/HIBAG.R:585-679, R/DataUtilities.R:415-505).
     """
+    from ..io.native import align_codes
+
     model_keys = {}
     mk = _model_keys(model, match_type)
     for i, k in enumerate(mk):
         model_keys.setdefault(k, i)
     tk = data.snp_key(match_type)
     P = len(mk)
-    N = data.n_samp
-    codes = np.full((N, P), GENO_MISSING, dtype=np.uint8)
     tfreq = data.allele_freq()
     mfreq = model.snp_allele_freq
+    src_idx = np.full(P, -1, dtype=np.int64)
+    flip_arr = np.zeros(P, dtype=np.uint8)
     n_match = n_flip = n_reject = 0
     for j, k in enumerate(tk):
         i = model_keys.get(k)
@@ -193,12 +195,13 @@ def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
         if not usable:
             n_reject += 1
             continue
-        g = data.genotype[j]  # [N]
-        if flip:
-            g = np.where(g <= 2, 2 - g, GENO_MISSING).astype(np.uint8)
-            n_flip += 1
-        codes[:, i] = g
+        src_idx[i] = j
+        flip_arr[i] = 1 if flip else 0
         n_match += 1
+        n_flip += int(flip)
+    # bulk gather + flip through the native runtime (NumPy fallback inside)
+    codes = align_codes(data.genotype.view(np.int8), src_idx, flip_arr)
+    codes = codes.view(np.uint8)
     info = {"n_model_snp": P, "n_matched": n_match, "n_flipped": n_flip,
             "n_rejected": n_reject,
             "missing_fraction": 1.0 - n_match / max(P, 1)}

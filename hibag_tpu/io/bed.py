@@ -71,10 +71,9 @@ def read_bed(bed_fn: str, fam_fn: Optional[str] = None,
         raw = np.frombuffer(f.read(), dtype=np.uint8)
 
     if mode == 1:  # SNP-major
-        stride = (n_samp + 3) // 4
-        raw = raw[:stride * n_snp].reshape(n_snp, stride)
-        raw = raw[snp_flag]
-        geno = _LUT[raw].reshape(raw.shape[0], -1)[:, :n_samp]
+        from .native import bed_decode
+        keep_idx = np.nonzero(snp_flag)[0]
+        geno = bed_decode(raw, n_snp, n_samp, keep_idx).view(np.uint8)
     else:  # individual-major
         stride = (n_snp + 3) // 4
         raw = raw[:stride * n_samp].reshape(n_samp, stride)

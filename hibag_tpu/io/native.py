@@ -1,0 +1,119 @@
+"""ctypes bindings to the native C++ data-preparation runtime.
+
+Loads ``native/libhibag_native.so`` when present (``make -C native``); every
+entry point has a NumPy fallback so the package works without the build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (
+        os.environ.get("HIBAG_NATIVE_LIB", ""),
+        os.path.join(here, "native", "libhibag_native.so"),
+        os.path.join(os.path.dirname(__file__), "libhibag_native.so"),
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.hibag_bed_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+        lib.hibag_align_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int]
+        lib.hibag_snp_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def bed_decode(raw: np.ndarray, n_snp: int, n_samp: int,
+               keep_idx: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """Decode SNP-major PLINK BED bytes → int8 codes [n_keep, n_samp]."""
+    lib = get_lib()
+    keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int64)
+    if lib is not None:
+        raw = np.ascontiguousarray(raw, dtype=np.uint8)
+        out = np.empty((len(keep_idx), n_samp), dtype=np.int8)
+        lib.hibag_bed_decode(_ptr(raw), n_snp, n_samp, _ptr(keep_idx),
+                             len(keep_idx), _ptr(out), n_threads)
+        return out
+    # NumPy fallback (same LUT approach)
+    from .bed import _LUT
+    stride = (n_samp + 3) // 4
+    rows = raw[:stride * n_snp].reshape(n_snp, stride)[keep_idx]
+    return _LUT[rows].reshape(len(keep_idx), -1)[:, :n_samp].astype(np.int8)
+
+
+def align_codes(geno: np.ndarray, src_idx: np.ndarray, flip: np.ndarray,
+                n_threads: int = 0) -> np.ndarray:
+    """Gather+flip target codes [P_t, N] into model space → [N, P_m]."""
+    lib = get_lib()
+    src_idx = np.ascontiguousarray(src_idx, dtype=np.int64)
+    flip = np.ascontiguousarray(flip, dtype=np.uint8)
+    P_t, N = geno.shape
+    P_m = len(src_idx)
+    if lib is not None:
+        geno = np.ascontiguousarray(geno, dtype=np.int8)
+        out = np.empty((N, P_m), dtype=np.int8)
+        lib.hibag_align_codes(_ptr(geno), P_t, N, _ptr(src_idx), _ptr(flip),
+                              P_m, _ptr(out), n_threads)
+        return out
+    safe = np.maximum(src_idx, 0)
+    g = geno[safe].astype(np.int8)                  # [P_m, N]
+    g = np.where(g > 2, 3, g)
+    flipped = np.where((g <= 2) & flip[:, None].astype(bool), 2 - g, g)
+    flipped[src_idx < 0] = 3
+    return np.ascontiguousarray(flipped.T)
+
+
+def snp_stats(geno: np.ndarray, n_threads: int = 0):
+    """(allele_freq [P], missing_rate [P]) over int8 codes [P, N]."""
+    lib = get_lib()
+    P, N = geno.shape
+    if lib is not None:
+        geno = np.ascontiguousarray(geno, dtype=np.int8)
+        freq = np.empty(P)
+        miss = np.empty(P)
+        lib.hibag_snp_stats(_ptr(geno), P, N, _ptr(freq), _ptr(miss),
+                            n_threads)
+        return freq, miss
+    g = geno.astype(np.int64)
+    valid = g <= 2
+    cnt = np.where(valid, g, 0).sum(1)
+    nv = valid.sum(1)
+    with np.errstate(invalid="ignore"):
+        freq = np.where(nv > 0, cnt / (2.0 * nv), 0.0)
+    return freq, 1.0 - nv / N
