@@ -5,10 +5,79 @@ R package (reference: zhengxwen/HIBAG): ensemble classifiers trained by
 bootstrap + greedy SNP selection + EM haplotype-frequency estimation, and
 prediction by averaged posterior probabilities over unordered HLA genotype
 pairs — reformulated as MXU matmul chains instead of SIMD popcount loops.
+
+HIBAG-style function aliases (hlaAttrBagging → train, hlaPredict → predict,
+…) are exported for users migrating from the R package; see README.md for
+the full mapping.
 """
 
 __version__ = "0.1.0"
 
+from .constants import MAXNUM_SNP, MIN_RARE_FREQ
+from .data.allele import (HLATypeTable, allele_digit, flanking_snps,
+                          loci_info, sort_alleles, split_alleles,
+                          unique_alleles)
+from .data.geno import (SNPGenoData, align_to_model, combine_geno,
+                        switch_strand)
+from .eval.assoc import aa_assoc_test, assoc_test
+from .eval.compare import compare_alleles
+from .eval.report import report
+from .io.bed import read_bed, write_ped
+from .io.rdata import read_rdata, read_rds, r_to_py
+from .io.vcf import write_vcf
+from .models.introspect import allele_distance, geno_ld, ld_matrix, summarize
 from .models.model import AttrBagModel, Classifier, PackedEnsemble
-from .models.predict import predict, PredictionResult
-from .data.geno import SNPGenoData, align_to_model
+from .models.predict import PredictionResult, predict
+from .models.publish import model_files, out_of_bag, pred_merge, publish
+from .models.train import train, train_parallel
+from .seq.aa import AASeqTable, conv_sequence, convert_table
+from .utils.rng import RRng
+
+# ---------------------------------------------------------------------------
+# R-API compatibility aliases (hla* names from the reference's NAMESPACE)
+# ---------------------------------------------------------------------------
+
+hlaAttrBagging = train
+hlaParallelAttrBagging = train_parallel
+hlaPredict = predict
+hlaPredMerge = pred_merge
+hlaCompareAllele = compare_alleles
+hlaAssocTest = assoc_test
+hlaAllele = HLATypeTable.from_alleles
+hlaAlleleDigit = allele_digit
+hlaUniqueAllele = unique_alleles
+hlaSplitAllele = split_alleles
+hlaFlankingSNP = flanking_snps
+hlaLociInfo = loci_info
+hlaBED2Geno = read_bed
+hlaGeno2PED = write_ped
+hlaAlleleToVCF = write_vcf
+hlaGenoCombine = combine_geno
+hlaGenoSwitchStrand = switch_strand
+hlaPublish = publish
+hlaModelFiles = model_files
+hlaOutOfBag = out_of_bag
+hlaDistance = allele_distance
+hlaGenoLD = geno_ld
+hlaLDMatrix = ld_matrix
+hlaConvSequence = convert_table
+hlaReport = report
+
+
+def hlaModelToObj(model: AttrBagModel) -> dict:
+    """Serialize to the reference's hlaAttrBagObj schema (plain dict)."""
+    return model.to_hibag_obj()
+
+
+def hlaModelFromObj(obj: dict, locus=None) -> AttrBagModel:
+    """Rebuild a model from an hlaAttrBagObj-schema dict (or one decoded
+    from an R .RData file via read_rdata + r_to_py)."""
+    return AttrBagModel.from_hibag_obj(obj, locus=locus)
+
+
+def hlaCombineModelObj(a: AttrBagModel, b: AttrBagModel) -> AttrBagModel:
+    return a.combine(b)
+
+
+def hlaSubModelObj(model: AttrBagModel, n: int) -> AttrBagModel:
+    return model.subset_classifiers(n)
