@@ -80,7 +80,8 @@ def _em_estep(fA, fB, mask_f, B, g_new, total_n):
     # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
-                   preferred_element_type=jnp.float32)      # [2C, S, H]
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)      # [2C, S, H]
     t0, t1 = t[:C], t[C:]                                   # [C, S, H]
     q00 = fA[:, None, :] * t0                               # [C, S, H]
     q01 = fA[:, None, :] * t1
@@ -104,8 +105,10 @@ def _em_estep(fA, fB, mask_f, B, g_new, total_n):
             + jnp.where(isna[..., None], q10 + q11, 0))
     psum_safe = jnp.maximum(psum, 1e-300 if psum.dtype == jnp.float64 else 1e-37)
     wgt = (B[None, :] / psum_safe)                          # [C, S]
-    fA_new = jnp.einsum("cs,csh->ch", wgt, num0) / total_n
-    fB_new = jnp.einsum("cs,csh->ch", wgt, num1) / total_n
+    fA_new = jnp.einsum("cs,csh->ch", wgt, num0,
+                        precision=jax.lax.Precision.HIGHEST) / total_n
+    fB_new = jnp.einsum("cs,csh->ch", wgt, num1,
+                        precision=jax.lax.Precision.HIGHEST) / total_n
     loglik = (B[None, :] * jnp.log(psum_safe)).sum(-1)      # [C]
     return fA_new, fB_new, loglik
 
@@ -231,9 +234,11 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
     Mf = jnp.stack([fA, fB], axis=1)[..., None] * onehot[None, None]
     # Mf: [C, 2, H, A]
     T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
-                   preferred_element_type=jnp.float32)   # [C,Neval,2,H,A]
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)   # [C,Neval,2,H,A]
     Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
-                    preferred_element_type=jnp.float32)  # [C,N,2,2,A,A]
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [C,N,2,2,A,A]
     # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d table):
     # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
     g = g_cand_eval                                      # [C, Neval]

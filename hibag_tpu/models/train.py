@@ -444,7 +444,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    na_rm: bool = True, mono_rm: bool = True,
                    maf: float = float("nan"), verbose: bool = True,
                    with_matching: bool = True, hap_bucket: int = 64,
-                   auto_save: Optional[str] = None) -> AttrBagModel:
+                   auto_save: Optional[str] = None,
+                   first_id: int = 0) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
     Trains classifiers in device-batched groups of `batch` (default: one per
@@ -462,7 +463,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
             else min(8, max(1, len(jax.devices())))
 
     classifiers: list = []
-    k0 = 0
+    k0 = first_id
     model = None
     while len(classifiers) < n_classifiers:
         kb = min(batch, n_classifiers - len(classifiers))
@@ -487,6 +488,33 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
         model.matching = pd.matching
         if auto_save:
             model.save(auto_save)
+    return model
+
+
+def train_distributed(hla_table, geno_data, n_classifiers: int = 100,
+                      seed: int = 100, coordinator: Optional[str] = None,
+                      num_processes: Optional[int] = None,
+                      process_id: Optional[int] = None,
+                      **kwargs) -> AttrBagModel:
+    """Multi-host ensemble training over the JAX distributed runtime.
+
+    Each host trains a deterministic contiguous share of the ensemble on its
+    local devices (identical RNG substreams regardless of topology, so a
+    1-host and an N-host run produce the same classifiers), then classifier
+    parameter blocks are all-gathered and every host returns the full
+    merged model. Single-process: equivalent to train_parallel.
+
+    Replaces hlaParallelAttrBagging's PSOCK-cluster job farm
+    (reference R/HIBAG.R:293-451, R/DataUtilities.R:124-213).
+    """
+    from ..parallel.mesh import (classifier_range, distributed_init,
+                                 gather_classifiers)
+    pi, pc = distributed_init(coordinator, num_processes, process_id)
+    rng_range = classifier_range(n_classifiers, pi, pc)
+    local = train_parallel(
+        hla_table, geno_data, n_classifiers=len(rng_range), seed=seed,
+        first_id=rng_range.start, with_matching=False, **kwargs)
+    model = gather_classifiers(local, n_classifiers)
     return model
 
 

@@ -116,7 +116,8 @@ def posterior_scores(hap_bits, hap_freq, hap_allele, geno_codes, n_alleles,
     W = (jax.nn.one_hot(hap_allele, n_alleles, dtype=acc)
          * hap_freq[:, None].astype(acc))  # [H, A]
     S = jnp.einsum("ha,nhg,gb->nab", W, pen, W,
-                   preferred_element_type=acc)
+                   preferred_element_type=acc,
+                   precision=jax.lax.Precision.HIGHEST)
     total = jnp.sum(S, axis=(1, 2))
     return {"S": S, "dmin": dmin, "total": total}
 

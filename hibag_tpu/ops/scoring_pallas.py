@@ -46,8 +46,12 @@ def _kernel(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
              + BIG * invalid + BIG * invalid.T)
         dmin = jnp.min(D)
         pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
-        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32)  # [H, A]
-        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32)  # [A, A]
+        # value-carrying contractions need full f32 MXU passes (bf16 default
+        # would put ~0.3% error on posteriors)
+        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)          # [H, A]
+        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)               # [A, A]
         s_out[s] = S
         dmin_out[pl.ds(s, 1), :] = dmin.reshape(1, 1)
         total_out[pl.ds(s, 1), :] = jnp.sum(S).reshape(1, 1)

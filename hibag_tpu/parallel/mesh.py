@@ -49,6 +49,69 @@ def replicate(mesh: Mesh, tree):
 
 
 # ---------------------------------------------------------------------------
+# multi-host orchestration
+# ---------------------------------------------------------------------------
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> tuple:
+    """Initialize the JAX multi-host runtime (no-op when single-process).
+
+    The reference scales across machines with R PSOCK clusters and a
+    hand-rolled job farm (.DynamicClusterCall, R/DataUtilities.R:124-213);
+    here the JAX distributed runtime provides process identity and the
+    global device mesh. Returns (process_index, process_count).
+    """
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def classifier_range(n_classifiers: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> range:
+    """This host's contiguous share of the ensemble (deterministic split —
+    every host derives the same partition, so per-classifier RNG seeds
+    stay stable regardless of topology)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = (n_classifiers + pc - 1) // pc
+    lo = pi * per
+    return range(lo, min(lo + per, n_classifiers))
+
+
+def gather_classifiers(local_model, n_classifiers: int):
+    """All-gather serialized classifiers across hosts (single-process:
+    identity). Classifier parameter blocks are padded to fixed shapes and
+    exchanged with process_allgather — the TPU-native replacement for the
+    reference's master-side combine (hlaCombineModelObj)."""
+    if jax.process_count() == 1:
+        return local_model
+    from jax.experimental import multihost_utils
+    import pickle
+    blob = pickle.dumps(local_model.to_hibag_obj()["classifiers"])
+    pad = 16 * 1024 * 1024
+    if len(blob) > pad:
+        raise ValueError("classifier blob exceeds gather buffer")
+    buf = np.zeros(pad, dtype=np.uint8)
+    buf[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    size = np.array([len(blob)], dtype=np.int64)
+    sizes = multihost_utils.process_allgather(size)
+    bufs = multihost_utils.process_allgather(buf)
+    all_classifiers = []
+    for i in range(jax.process_count()):
+        chunk = pickle.loads(bytes(bufs[i][:int(sizes[i][0])]))
+        all_classifiers.extend(chunk)
+    obj = local_model.to_hibag_obj()
+    obj["classifiers"] = all_classifiers[:n_classifiers]
+    from ..models.model import AttrBagModel
+    merged = AttrBagModel.from_hibag_obj(obj, locus=local_model.locus)
+    merged.sample_id = local_model.sample_id
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # batched (multi-classifier) greedy training step
 # ---------------------------------------------------------------------------
 

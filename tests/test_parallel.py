@@ -57,3 +57,30 @@ def test_sharded_predict_matches_serial(model_list, hapmap_geno):
     np.testing.assert_array_equal(alleles[iu[best]], res.allele1)
     np.testing.assert_array_equal(alleles[ju[best]], res.allele2)
     np.testing.assert_allclose(tri.T, res.postprob, rtol=2e-4, atol=1e-6)
+
+
+def test_train_distributed_single_process(hla_types, hapmap_geno):
+    """Single-process degenerate case of the multi-host path."""
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+    from hibag_tpu.models.train import train_distributed, train_parallel
+    t = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"], locus="A")
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position, "A",
+                        500_000, "hg19")
+    fg = hapmap_geno.subset(
+        snp_mask=np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str)))
+    m = train_distributed(t, fg, n_classifiers=4, seed=100, batch=4,
+                          verbose=False)
+    assert m.n_classifiers == 4
+    # deterministic: same classifiers as a direct train_parallel run
+    m2 = train_parallel(t, fg, n_classifiers=4, seed=100, batch=4,
+                        verbose=False, with_matching=False)
+    np.testing.assert_array_equal(m.classifiers[2].snp_index,
+                                  m2.classifiers[2].snp_index)
+
+
+def test_classifier_range_partition():
+    from hibag_tpu.parallel.mesh import classifier_range
+    parts = [classifier_range(100, i, 3) for i in range(3)]
+    ids = [k for r in parts for k in r]
+    assert ids == list(range(100))
