@@ -19,6 +19,8 @@ from .data.allele import (HLATypeTable, allele_digit, flanking_snps,
                           unique_alleles)
 from .data.geno import (SNPGenoData, align_to_model, combine_geno,
                         switch_strand)
+from .data.misc import (check_allele, check_snps, sample_alleles,
+                        summary_geno, summary_model, summary_table)
 from .eval.assoc import aa_assoc_test, assoc_test
 from .eval.compare import compare_alleles
 from .eval.report import report
@@ -29,7 +31,7 @@ from .models.introspect import allele_distance, geno_ld, ld_matrix, summarize
 from .models.model import AttrBagModel, Classifier, PackedEnsemble
 from .models.predict import PredictionResult, predict
 from .models.publish import model_files, out_of_bag, pred_merge, publish
-from .models.train import train, train_parallel
+from .models.train import train, train_distributed, train_parallel
 from .seq.aa import AASeqTable, conv_sequence, convert_table
 from .utils.rng import RRng
 
@@ -62,6 +64,59 @@ hlaGenoLD = geno_ld
 hlaLDMatrix = ld_matrix
 hlaConvSequence = convert_table
 hlaReport = report
+hlaCheckAllele = check_allele
+hlaCheckSNPs = check_snps
+hlaSampleAllele = sample_alleles
+
+
+def hlaGDS2Geno(*args, **kwargs):
+    from .io.gds import read_gds
+    return read_gds(*args, **kwargs)
+
+
+def hlaMakeSNPGeno(genotype, sample_id, snp_id, snp_position, A_allele,
+                   B_allele, assembly="auto"):
+    """hlaMakeSNPGeno equivalent (R/DataUtilities.R:252)."""
+    import numpy as _np
+    allele = _np.array([f"{a}/{b}" for a, b in zip(A_allele, B_allele)],
+                       dtype=object)
+    return SNPGenoData(genotype=genotype, sample_id=sample_id, snp_id=snp_id,
+                       snp_position=snp_position, snp_allele=allele,
+                       assembly=assembly)
+
+
+def hlaSNPID(obj, match_type="Position"):
+    return obj.snp_key(match_type)
+
+
+def hlaGenoAFreq(g):
+    return g.allele_freq()
+
+
+def hlaGenoMFreq(g):
+    return g.maf()
+
+
+def hlaGenoMRate(g):
+    return g.missing_rate_snp()
+
+
+def hlaGenoMRate_Samp(g):
+    return g.missing_rate_samp()
+
+
+def hlaGenoSubset(g, snp_sel=None, samp_sel=None):
+    return g.subset(snp_mask=snp_sel, samp_mask=samp_sel)
+
+
+def hlaAlleleSubset(t, samp_sel):
+    return t.subset(samp_sel)
+
+
+def hlaClose(model):
+    """No-op: models are plain data, not native handles (reference
+    hlaClose frees a C++ model slot, R/HIBAG.R:458)."""
+    return None
 
 
 def hlaModelToObj(model: AttrBagModel) -> dict:

@@ -32,22 +32,27 @@ from ..ops.scoring import posterior_scores, unordered_from_S
 from .model import AttrBagModel, PackedEnsemble
 
 
-@functools.partial(jax.jit, static_argnames=("n_alleles", "vote"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_alleles", "vote", "engine", "cchunk"))
 def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
-                   geno_codes, n_alleles, vote="prob"):
+                   geno_codes, n_alleles, vote="prob", engine="jnp",
+                   cchunk=8):
     """One block of samples against the whole ensemble.
 
     hap_bits [C,Hm,L]; hap_freq [C,Hm]; hap_allele [C,Hm]; snp_index [C,L];
-    snp_weight [P]; geno_codes [n,P] uint8.
+    snp_weight [P]; geno_codes [n,P] uint8. C must be a multiple of `cchunk`
+    (callers pad); the scan runs over classifier chunks with an inner vmap
+    so each step launches one batched kernel instead of `cchunk` small ones.
 
     Returns ens [n,A,A] (weight-normalized ensemble posterior, symmetric
     unordered convention), wsum [n], log_match [C,n], w [C,n].
     """
     n = geno_codes.shape[0]
     A = n_alleles
+    C = hap_bits.shape[0]
+    G = C // cchunk
 
-    def body(carry, xs):
-        bits, freq, allele, sidx = xs
+    def one_classifier(bits, freq, allele, sidx):
         safe = jnp.maximum(sidx, 0)
         in_cls = (sidx >= 0)
         g = jnp.take(geno_codes, safe, axis=1)           # [n, L]
@@ -55,10 +60,14 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
         wsnp = jnp.take(snp_weight, safe) * in_cls        # [L] int
         wtot = wsnp.sum()
         nonmiss = (g != GENO_MISSING)
-        w = (nonmiss * wsnp[None, :]).sum(-1) / jnp.maximum(wtot, 1)  # [n] f32
+        w = (nonmiss * wsnp[None, :]).sum(-1) / jnp.maximum(wtot, 1)  # [n]
         w = w.astype(jnp.float32)
 
-        res = posterior_scores(bits, freq, allele, g, A)
+        if engine == "pallas":
+            from ..ops.scoring_pallas import classifier_posteriors
+            res = classifier_posteriors(bits, freq, allele, g, A)
+        else:
+            res = posterior_scores(bits, freq, allele, g, A)
         Q = unordered_from_S(res["S"])                    # [n, A, A]
         total = res["total"]
         log_match = (jnp.log(jnp.maximum(w, 1e-30)) + jnp.log(total)
@@ -66,7 +75,7 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
         log_match = jnp.where(w > 0, log_match, -jnp.inf)
 
         if vote == "prob":
-            contrib = Q * (w / total)[:, None, None]
+            contrib = Q * (w / jnp.maximum(total, 1e-30))[:, None, None]
             wadd = w
         else:  # majority voting
             flat = Q.reshape(n, A * A)
@@ -78,14 +87,22 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
                   ((ii == bj[:, None, None]) & (jj == bi[:, None, None]))
             contrib = hit.astype(jnp.float32) * (w > 0)[:, None, None]
             wadd = (w > 0).astype(jnp.float32)
+        return contrib, wadd, log_match, w
 
+    def body(carry, xs):
+        bits, freq, allele, sidx = xs                     # [cchunk, ...]
+        contrib, wadd, log_match, w = jax.vmap(one_classifier)(
+            bits, freq, allele, sidx)
         ens, wsum = carry
-        return (ens + contrib, wsum + wadd), (log_match, w)
+        return (ens + contrib.sum(0), wsum + wadd.sum(0)), (log_match, w)
 
+    chunked = tuple(x.reshape((G, cchunk) + x.shape[1:])
+                    for x in (hap_bits, hap_freq, hap_allele, snp_index))
     ens0 = jnp.zeros((n, A, A), jnp.float32)
     wsum0 = jnp.zeros((n,), jnp.float32)
-    (ens, wsum), (log_match, w) = jax.lax.scan(
-        body, (ens0, wsum0), (hap_bits, hap_freq, hap_allele, snp_index))
+    (ens, wsum), (log_match, w) = jax.lax.scan(body, (ens0, wsum0), chunked)
+    log_match = log_match.reshape(C, n)
+    w = w.reshape(C, n)
     ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
     return ens, wsum, log_match, w
 
@@ -129,11 +146,16 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             match_type: str = "Position", same_strand: bool = False,
             block: int = 128, with_dosage: bool = True,
             with_prob: bool = False, hap_bucket: int = 64,
-            verbose: bool = False) -> PredictionResult:
+            engine: str = "auto", verbose: bool = False) -> PredictionResult:
     """Impute HLA types for `data` (SNPGenoData or pre-aligned code matrix).
 
     Equivalent of hlaPredict (reference R/HIBAG.R:470-818).
+
+    engine: "jnp" (XLA matmul chain), "pallas" (fused VMEM-resident kernel),
+    or "auto" (pallas on TPU backends, jnp elsewhere).
     """
+    if engine == "auto":
+        engine = "jnp" if jax.default_backend() == "cpu" else "pallas"
     from ..data.geno import SNPGenoData, align_to_model
 
     if isinstance(data, SNPGenoData):
@@ -159,6 +181,18 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     match_all = np.zeros(N, dtype=np.float64)
     wsum_all = np.zeros(N, dtype=np.float64)
 
+    # pad the classifier axis to the scan-chunk width (dummy classifiers
+    # carry zero weight and contribute nothing). cchunk=1 measured fastest
+    # on v5e (batched-vmap variants add layout/gather overhead).
+    cchunk = 1
+    Cp = ((C + cchunk - 1) // cchunk) * cchunk
+    if Cp != C:
+        pad = ((0, Cp - C),)
+        packed.hap_bits = np.pad(packed.hap_bits, pad + ((0, 0), (0, 0)))
+        packed.hap_freq = np.pad(packed.hap_freq, pad + ((0, 0),))
+        packed.hap_allele = np.pad(packed.hap_allele, pad + ((0, 0),))
+        packed.snp_index = np.pad(packed.snp_index, pad + ((0, 0),),
+                                  constant_values=-1)
     hb = jnp.asarray(packed.hap_bits)
     hf = jnp.asarray(packed.hap_freq)
     ha = jnp.asarray(packed.hap_allele)
@@ -172,7 +206,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             chunk = np.pad(chunk, ((0, pad), (0, 0)),
                            constant_values=GENO_MISSING)
         ens, wsum, log_match, w = _predict_block(
-            hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote)
+            hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine, cchunk)
         ens = np.asarray(ens, dtype=np.float64)
         wsum = np.asarray(wsum, dtype=np.float64)
         log_match = np.asarray(log_match, dtype=np.float64)  # [C, n]
