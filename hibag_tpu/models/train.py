@@ -445,7 +445,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    maf: float = float("nan"), verbose: bool = True,
                    with_matching: bool = True, hap_bucket: int = 64,
                    auto_save: Optional[str] = None,
-                   first_id: int = 0) -> AttrBagModel:
+                   first_id: int = 0, mode: str = "host",
+                   hcap: int = 256, max_steps: int = 256) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
     Trains classifiers in device-batched groups of `batch` (default: one per
@@ -467,10 +468,16 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
     model = None
     while len(classifiers) < n_classifiers:
         kb = min(batch, n_classifiers - len(classifiers))
-        rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
-                for j in range(kb)]
         t0 = time.time()
-        cls = train_parallel_batch(ctx, rngs, m, prune=prune, mesh=mesh)
+        if mode == "fused":
+            from .train_fused import train_fused_batch
+            cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
+                                    hcap=hcap, first_id=k0,
+                                    max_steps=max_steps)
+        else:
+            rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
+                    for j in range(kb)]
+            cls = train_parallel_batch(ctx, rngs, m, prune=prune, mesh=mesh)
         classifiers.extend(cls)
         k0 += kb
         if verbose:

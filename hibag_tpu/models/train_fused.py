@@ -1,0 +1,327 @@
+"""Fully-fused on-device classifier growth.
+
+The host-loop trainer (train.py) dispatches one device call per greedy step
+(~40-60 per classifier), so wall-clock is dominated by dispatch latency.
+This module runs the ENTIRE greedy growth — candidate sampling, EM,
+rare-haplotype pruning, evaluation, accept/stop/prune decisions, haplotype
+list update — inside one jitted ``lax.while_loop``, vmapped over a batch of
+classifiers: one device dispatch trains the whole batch.
+
+Differences from the host path (both documented "fast mode" deviations, in
+the spirit of the reference's own cluster mode which switches RNG streams):
+
+* Candidate draws use JAX PRNG (Gumbel top-k without replacement over the
+  remaining pool) instead of the R Mersenne-Twister replica.
+* The haplotype list is kept in fixed slots ordered by descending frequency
+  after each accept (the reference keeps allele-grouped insertion order,
+  which only affects tie-breaking); if a doubling overflows the slot
+  capacity, the lowest-frequency haplotypes are dropped.
+
+Decision logic (running max / tie-break / stop / prune) replicates
+CVariableSelection::Search exactly (reference src/LibHLA.cpp:1981-2122).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
+                         MIN_RARE_FREQ, PRUNE_RELTOL_LOGLIK,
+                         STOP_RELTOL_LOGLIK_ADDSNP)
+from .em import em_all_candidates, erase_rare, match_pairs
+from ..ops.scoring import pair_distance
+
+BIG = 1e9
+
+
+class GrowState(NamedTuple):
+    bits: jax.Array       # [K, Hc, L] f32
+    freq: jax.Array       # [K, Hc] f32
+    allele: jax.Array     # [K, Hc] i32
+    geno_sel: jax.Array   # [K, N, L] i8
+    n_snp: jax.Array      # [K] i32
+    snp_order: jax.Array  # [K, L] i32 (accepted SNPs in order, -1 pad)
+    pool: jax.Array       # [K, P] bool
+    gmax_acc: jax.Array   # [K] i32
+    gmin_loss: jax.Array  # [K] f32
+    done: jax.Array       # [K] bool
+    key: jax.Array        # [K, 2] u32
+    steps: jax.Array      # [] i32
+
+
+def _evaluate_seq(bits, allele, new_col, fA, fB, g_cand, geno_sel,
+                  a1, a2, is_oob, B, n_alleles):
+    """Per-candidate evaluation with a sequential candidate map (bounded
+    memory inside the fused loop). Same math as em.evaluate_candidates."""
+    from ..constants import LOG_MIN_RARE_FREQ
+    q = MIN_RARE_FREQ
+    H = bits.shape[0]
+    Neval = geno_sel.shape[0]
+    A = n_alleles
+
+    D = pair_distance(bits, geno_sel)
+    ok_base = (fA > 0) | (fB > 0)
+    base_ok = jnp.any(ok_base, axis=0)
+    pair_ok = base_ok[:, None] & base_ok[None, :]
+    Dm = jnp.where(pair_ok[None], D, BIG)
+    dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
+    Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
+    Pen = jnp.where(pair_ok[None], Pen, 0.0)
+    onehot = jax.nn.one_hot(allele, A, dtype=Pen.dtype)
+    s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]])
+
+    def one_candidate(args):
+        fa, fb, g = args
+        Mf = jnp.stack([fa, fb], 0)[:, :, None] * onehot[None]   # [2, H, A]
+        T = jnp.einsum("nij,bjB->nbiB", Pen, Mf,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        Sb = jnp.einsum("biA,neiB->nbeAB", Mf, T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        delta = jnp.select(
+            [g[:, None, None] == 0, g[:, None, None] == 1,
+             g[:, None, None] == 2],
+            [s_grid[None], jnp.abs(s_grid - 1.0)[None],
+             (2.0 - s_grid)[None]],
+            jnp.zeros((1, 2, 2)))
+        pd = jnp.exp(jnp.log(q) * delta)
+        S = jnp.einsum("nbe,nbeAB->nAB", pd, Sb)
+        total = S.sum((1, 2))
+        flat = S.reshape(Neval, A * A)
+        b = jnp.argmax(flat, axis=1)
+        g1, g2 = b // A, b % A
+        g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
+        p1, p2, t1, t2 = g1, g2, a1, a2
+        m1 = (p1 == t1) | (p1 == t2)
+        t1u = jnp.where(m1 & (p1 == t1), -1, t1)
+        t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
+        m2 = (p2 == t1u) | (p2 == t2u)
+        cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+        acc = jnp.where(is_oob & (total > 0), cnt, 0).sum()
+        tq = S[jnp.arange(Neval), a1, a2]
+        tq = tq * jnp.where(a1 == a2, 1.0, 2.0)
+        post = tq / jnp.maximum(total, 1e-37)
+        ll = -2.0 * (B * jnp.log(jnp.maximum(post, 1e-37))).sum()
+        return acc, ll
+
+    return jax.lax.map(one_candidate, (fA, fB, g_cand))
+
+
+def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
+    """Replicates the reference's running-max candidate scan; returns
+    (min_i, max_acc, min_loss, kill_mask [Cm])."""
+    Cm = acc_c.shape[0]
+
+    def body(carry, i):
+        max_acc, min_loss, min_i = carry
+        ok = cand_ok[i]
+        acc = acc_c[i]
+        loss = jnp.where(acc >= max_acc, loss_c[i], 0.0)
+        upd1 = ok & (acc > max_acc)
+        upd2 = ok & ~upd1 & (acc == max_acc) & (loss < min_loss)
+        new_min_i = jnp.where(upd1 | upd2, i, min_i)
+        new_min_loss = jnp.where(upd1 | upd2, loss, min_loss)
+        new_max_acc = jnp.where(upd1, acc, max_acc)
+        kill = jnp.where(
+            prune,
+            ok & ((acc < gmax_acc)
+                  | ((acc == gmax_acc)
+                     & (loss > gmin_loss * (1 + PRUNE_RELTOL_LOGLIK))
+                     & (new_min_i != i))),
+            False)
+        return (new_max_acc, new_min_loss, new_min_i), kill
+
+    (max_acc, min_loss, min_i), kills = jax.lax.scan(
+        body, (gmax_acc, gmin_loss, jnp.int32(-1)), jnp.arange(Cm))
+    return min_i, max_acc, min_loss, kills
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_alleles", "mtry", "prune", "max_steps"))
+def fused_grow_batch(bits0, freq0, allele0, B, geno, a1, a2, key0,
+                     rare_prob, total_n, n_alleles, mtry, prune=True,
+                     max_steps=256):
+    """Grow K classifiers entirely on device.
+
+    bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
+    haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts;
+    geno [N, P] codes; a1/a2 [N]; key0 [K] PRNG keys.
+
+    Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K]).
+    """
+    K, Hc, L = bits0.shape
+    N, P = geno.shape
+    geno_T = geno.T  # [P, N]
+
+    def step_one(state_k, B_k, is_oob_k):
+        (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
+         gmax_acc, gmin_loss, done, key) = state_k
+
+        key, k1 = jax.random.split(key)
+        gumbel = jax.random.gumbel(k1, (P,))
+        score = jnp.where(pool, gumbel, -jnp.inf)
+        _, cand_idx = jax.lax.top_k(score, mtry)          # [Cm]
+        cand_in_pool = jnp.take(pool, cand_idx)
+
+        g_cand = jnp.take(geno_T, cand_idx, axis=0)       # [Cm, N]
+        gv = g_cand.astype(jnp.float32)
+        okg = (g_cand <= 2)
+        allele_cnt = ((jnp.where(okg, gv, 0.0)) @ B_k)
+        valid_cnt = 2.0 * (okg.astype(jnp.float32) @ B_k)
+        cand_ok = cand_in_pool & (allele_cnt > 0) & (allele_cnt < valid_cnt)
+        afreq = jnp.where(cand_ok, allele_cnt / jnp.maximum(valid_cnt, 1.0),
+                          0.5)
+
+        valid = freq > 0
+        mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+        fA, fB, _, _ = em_all_candidates(freq, valid, mask, B_k, g_cand,
+                                         afreq, total_n)
+        fA, fB = erase_rare(fA, fB, rare_prob)
+        acc_c, loss_c = _evaluate_seq(bits, allele, n_snp, fA, fB, g_cand,
+                                      geno_sel, a1, a2, is_oob_k, B_k,
+                                      n_alleles)
+        min_i, max_acc, min_loss, kills = _decide(
+            cand_ok, acc_c, jnp.asarray(loss_c, jnp.float32),
+            gmax_acc, gmin_loss, prune)
+
+        has_cand = min_i >= 0
+        sign = jnp.where(
+            max_acc > gmax_acc, True,
+            jnp.where((max_acc == gmax_acc) & has_cand,
+                      (min_loss >= STOP_RELTOL_LOGLIK_ADDSNP)
+                      & (min_loss < gmin_loss
+                         * (1 - STOP_RELTOL_LOGLIK_ADDSNP)),
+                      False))
+        sign = sign & ~done
+        min_i_safe = jnp.maximum(min_i, 0)
+        chosen = cand_idx[min_i_safe]
+
+        # --- accepted-candidate state update (masked by sign) -------------
+        fa = fA[min_i_safe]
+        fb = fB[min_i_safe]
+        bits_a = bits.at[:, n_snp].set(0.0)
+        bits_b = bits.at[:, n_snp].set(1.0)
+        freq2 = jnp.concatenate([fa, fb])                  # [2Hc]
+        bits2 = jnp.concatenate([bits_a, bits_b], axis=0)  # [2Hc, L]
+        allele2 = jnp.concatenate([allele, allele])
+        order = jnp.argsort(jnp.where(freq2 > 0, -freq2, jnp.inf))[:Hc]
+        new_bits = jnp.take(bits2, order, axis=0)
+        new_freq = jnp.take(freq2, order)
+        new_allele = jnp.take(allele2, order)
+        new_geno_sel = jax.lax.dynamic_update_index_in_dim(
+            geno_sel, jnp.take(geno_T, chosen, axis=0).astype(jnp.int8),
+            n_snp, axis=1)
+
+        bits = jnp.where(sign, new_bits, bits)
+        freq = jnp.where(sign, new_freq, freq)
+        allele = jnp.where(sign, new_allele, allele)
+        geno_sel = jnp.where(sign, new_geno_sel, geno_sel)
+        snp_order = jnp.where(sign,
+                              snp_order.at[n_snp].set(chosen), snp_order)
+        n_snp = jnp.where(sign, n_snp + 1, n_snp)
+        gmax_acc = jnp.where(sign, max_acc, gmax_acc)
+        gmin_loss = jnp.where(sign, min_loss, gmin_loss)
+
+        # --- pool updates -------------------------------------------------
+        # accepted: chosen SNP + prune-killed leave the pool
+        # rejected: the whole drawn selection leaves the pool
+        kill_scatter = jnp.zeros((P,), bool).at[cand_idx].set(
+            jnp.where(sign, kills | (jnp.arange(mtry) == min_i_safe),
+                      cand_in_pool))
+        pool = jnp.where(done, pool, pool & ~kill_scatter)
+
+        done = done | (~jnp.any(pool)) | (n_snp >= MAXNUM_SNP)
+        return (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
+                gmax_acc, gmin_loss, done, key)
+
+    is_oob = B == 0
+
+    def cond(state: GrowState):
+        return (~jnp.all(state.done)) & (state.steps < max_steps)
+
+    def body(state: GrowState):
+        out = jax.vmap(step_one)(
+            (state.bits, state.freq, state.allele, state.geno_sel,
+             state.n_snp, state.snp_order, state.pool, state.gmax_acc,
+             state.gmin_loss, state.done, state.key), B, is_oob)
+        return GrowState(*out, steps=state.steps + 1)
+
+    state0 = GrowState(
+        bits=bits0, freq=freq0, allele=allele0,
+        geno_sel=jnp.full((K, N, L), GENO_MISSING, jnp.int8),
+        n_snp=jnp.zeros(K, jnp.int32),
+        snp_order=jnp.full((K, L), -1, jnp.int32),
+        pool=jnp.ones((K, P), bool),
+        gmax_acc=jnp.zeros(K, jnp.int32),
+        gmin_loss=jnp.full(K, 1e30, jnp.float32),
+        done=jnp.zeros(K, bool),
+        key=key0,
+        steps=jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, state0)
+    return (out.bits, out.freq, out.allele, out.n_snp, out.snp_order,
+            out.gmax_acc)
+
+
+def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
+                      hcap: int = 256, first_id: int = 0,
+                      max_steps: int = 256) -> list:
+    """Train K classifiers with the fused device loop; returns Classifiers."""
+    from .model import Classifier
+    from .train import _init_haplotype
+    from ..utils.rng import RRng
+
+    N, P = ctx.n_samp, ctx.n_snp
+    L = MAXNUM_SNP
+    rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
+
+    # bootstrap from the R-replica stream (cheap, host), per classifier
+    Bs = np.stack([RRng((seed + 1000003 * (first_id + j)) % (2**31 - 1))
+                   .bootstrap_counts(N) for j in range(K)])
+    bits0 = np.zeros((K, hcap, L), np.float32)
+    freq0 = np.zeros((K, hcap), np.float32)
+    allele0 = np.zeros((K, hcap), np.int32)
+    for k in range(K):
+        st = _init_haplotype(ctx, Bs[k])
+        h = len(st.freq)
+        if h > hcap:
+            raise ValueError(f"hcap {hcap} < initial haplotypes {h}")
+        freq0[k, :h] = st.freq
+        allele0[k, :h] = st.allele
+
+    keys = jnp.stack([jax.random.PRNGKey(seed * 7919 + first_id + j)
+                      for j in range(K)])
+    bits, freq, allele, n_snp, snp_order, acc_cnt = fused_grow_batch(
+        jnp.asarray(bits0), jnp.asarray(freq0), jnp.asarray(allele0),
+        jnp.asarray(Bs.astype(np.float32)), jnp.asarray(ctx.geno),
+        ctx.a1_j, ctx.a2_j, keys, rare_prob, float(N), ctx.n_alleles,
+        mtry, prune, max_steps)
+
+    bits = np.asarray(bits)
+    freq = np.asarray(freq, dtype=np.float64)
+    allele = np.asarray(allele)
+    n_snp = np.asarray(n_snp)
+    snp_order = np.asarray(snp_order)
+    acc_cnt = np.asarray(acc_cnt)
+    out = []
+    for k in range(K):
+        ns = int(n_snp[k])
+        sel = freq[k] > 0
+        # order haplotypes by allele for the standard grouped layout
+        order = np.argsort(allele[k][sel], kind="stable")
+        n_oob = int((Bs[k] == 0).sum())
+        out.append(Classifier(
+            snp_index=snp_order[k, :ns].astype(np.int32),
+            hap_bits=bits[k][sel][order][:, :ns].astype(np.uint8),
+            hap_freq=freq[k][sel][order],
+            hap_allele=allele[k][sel][order].astype(np.int32),
+            bootstrap_count=Bs[k].astype(np.int32),
+            oob_accuracy=float(0.5 * acc_cnt[k] / max(n_oob, 1)),
+        ))
+    return out

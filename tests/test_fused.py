@@ -1,0 +1,67 @@
+"""Fused on-device trainer on a small synthetic locus."""
+
+import numpy as np
+import pytest
+
+
+def _synthetic(seed=0, n=32, p=48, n_alleles=4):
+    """Synthetic locus where a few SNPs tag each allele."""
+    rng = np.random.default_rng(seed)
+    # allele haplotype templates over p SNPs
+    templates = rng.integers(0, 2, (n_alleles, p))
+    a1 = rng.integers(0, n_alleles, n)
+    a2 = rng.integers(0, n_alleles, n)
+    a1, a2 = np.minimum(a1, a2), np.maximum(a1, a2)
+    geno = templates[a1] + templates[a2]  # [n, p] 0/1/2
+    # sprinkle noise + missing
+    noise = rng.random((n, p)) < 0.02
+    geno = np.where(noise, rng.integers(0, 3, (n, p)), geno)
+    geno[rng.random((n, p)) < 0.02] = 3
+    from hibag_tpu.models.train import TrainingContext
+    ctx = TrainingContext(
+        geno=geno.astype(np.int8), a1=a1.astype(np.int32),
+        a2=a2.astype(np.int32), n_alleles=n_alleles,
+        snp_id=np.array([f"rs{i}" for i in range(p)], dtype=object),
+        snp_position=np.arange(p) * 1000,
+        snp_allele=np.array(["A/G"] * p, dtype=object),
+        sample_id=np.array([f"s{i}" for i in range(n)], dtype=object))
+    return ctx
+
+
+def test_fused_grow_smoke():
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic()
+    cls = train_fused_batch(ctx, K=2, seed=7, mtry=7, hcap=32, max_steps=40)
+    assert len(cls) == 2
+    for c in cls:
+        assert 1 <= c.n_snp <= 40
+        assert c.n_haplo >= 2
+        np.testing.assert_allclose(c.hap_freq.sum(), 1.0, atol=1e-2)
+        assert np.all(np.diff(c.hap_allele) >= 0)
+        assert c.oob_accuracy > 0.5  # alleles are SNP-taggable by design
+        assert len(set(c.snp_index.tolist())) == c.n_snp  # no repeats
+
+
+def test_fused_predictable_accuracy():
+    from hibag_tpu.models.train import _partial_model
+    from hibag_tpu.models.train_fused import train_fused_batch
+    from hibag_tpu.models.predict import predict
+    from hibag_tpu.data.geno import SNPGenoData
+    from hibag_tpu.models.predict import _pair_match
+
+    ctx = _synthetic(seed=3)
+    cls = train_fused_batch(ctx, K=4, seed=11, mtry=7, hcap=32, max_steps=40)
+    alleles = [f"{i:02d}:01" for i in range(ctx.n_alleles)]
+
+    class HlaStub:
+        locus = "any"
+        assembly = "hg19"
+
+    model = _partial_model(ctx, alleles, HlaStub(), HlaStub(), cls)
+    model.assembly = "hg19"
+    codes = ctx.geno  # [N, P] already aligned
+    res = predict(model, codes.astype(np.uint8))
+    hits = [
+        _pair_match(r1, r2, alleles[t1], alleles[t2]) / 2
+        for r1, r2, t1, t2 in zip(res.allele1, res.allele2, ctx.a1, ctx.a2)]
+    assert np.mean(hits) > 0.85
