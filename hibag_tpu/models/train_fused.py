@@ -33,7 +33,7 @@ import numpy as np
 from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
                          MIN_RARE_FREQ, PRUNE_RELTOL_LOGLIK,
                          STOP_RELTOL_LOGLIK_ADDSNP)
-from .em import em_all_candidates, erase_rare, match_pairs
+from .em import em_all_candidates, erase_rare, evaluate_candidates, match_pairs
 from ..ops.scoring import pair_distance
 
 BIG = 1e9
@@ -184,9 +184,9 @@ def fused_grow_batch(bits0, freq0, allele0, B, geno, a1, a2, key0,
         fA, fB, _, _ = em_all_candidates(freq, valid, mask, B_k, g_cand,
                                          afreq, total_n)
         fA, fB = erase_rare(fA, fB, rare_prob)
-        acc_c, loss_c = _evaluate_seq(bits, allele, n_snp, fA, fB, g_cand,
-                                      geno_sel, a1, a2, is_oob_k, B_k,
-                                      n_alleles)
+        acc_c, loss_c = evaluate_candidates(bits, allele, n_snp, fA, fB,
+                                            g_cand, geno_sel, a1, a2,
+                                            is_oob_k, B_k, n_alleles)
         min_i, max_acc, min_loss, kills = _decide(
             cand_ok, acc_c, jnp.asarray(loss_c, jnp.float32),
             gmax_acc, gmin_loss, prune)

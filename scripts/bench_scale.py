@@ -1,0 +1,83 @@
+"""Scaling benchmarks beyond the headline bench.py config.
+
+Covers BASELINE.json configs: large-cohort prediction throughput (config[3]:
+published model over a ~50k-sample cohort) and multi-locus training sweeps.
+Prints one JSON line per measurement. Run exclusively on the TPU.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def predict_50k(n_samples: int = 51_200, engine: str = "pallas"):
+    import hibag_tpu as ht
+    ml = ht.r_to_py(ht.read_rdata(
+        "/root/reference/inst/extdata/ModelList.RData")["modellist"])
+    model = ht.AttrBagModel.from_hibag_obj(ml["A"], locus="A")
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    # synthesize a large cohort by resampling the CEU genotype columns
+    rng = np.random.default_rng(0)
+    cols = rng.integers(0, geno.n_samp, n_samples)
+    big = ht.SNPGenoData(
+        genotype=geno.genotype[:, cols],
+        sample_id=np.array([f"s{i}" for i in range(n_samples)], dtype=object),
+        snp_id=geno.snp_id, snp_position=geno.snp_position,
+        snp_allele=geno.snp_allele, assembly=geno.assembly)
+    # warmup
+    ht.predict(model, big.subset(samp_mask=np.arange(512)), block=512,
+               engine=engine)
+    t0 = time.time()
+    res = ht.predict(model, big, block=512, engine=engine)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "predict_samples_per_s_50k",
+        "value": round(n_samples / dt, 1),
+        "unit": "samples/s",
+        "engine": engine,
+        "n_samples": n_samples,
+        "seconds": round(dt, 2),
+        "n_classifiers": model.n_classifiers,
+    }), flush=True)
+    return res
+
+
+def train_6loci(n_classifiers: int = 100):
+    import hibag_tpu as ht
+    truth = ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    for locus in ("A", "B", "C", "DQA1", "DQB1", "DRB1"):
+        hla = ht.hlaAllele(truth["sample.id"], truth[f"{locus}.1"],
+                           truth[f"{locus}.2"], locus=locus, assembly="hg19")
+        ids = ht.flanking_snps(geno.snp_id, geno.snp_position, locus,
+                               500_000, "hg19")
+        fg = geno.subset(snp_mask=np.isin(geno.snp_id.astype(str),
+                                          ids.astype(str)))
+        t0 = time.time()
+        m = ht.train_parallel(hla, fg, n_classifiers=n_classifiers,
+                              batch=min(n_classifiers, 50), seed=100,
+                              verbose=False, with_matching=False,
+                              mode="fused", hcap=192, max_steps=192)
+        dt = time.time() - t0
+        oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
+        print(json.dumps({
+            "metric": f"train_{locus}_classifiers_per_s",
+            "value": round(n_classifiers / dt, 2),
+            "unit": "classifiers/s",
+            "n_classifiers": n_classifiers,
+            "seconds": round(dt, 2),
+            "mean_oob": round(oob, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "predict"
+    if which == "predict":
+        predict_50k()
+    elif which == "train6":
+        train_6loci(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
