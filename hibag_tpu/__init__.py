@@ -109,6 +109,16 @@ def hlaGenoSubset(g, snp_sel=None, samp_sel=None):
     return g.subset(snp_mask=snp_sel, samp_mask=samp_sel)
 
 
+def hlaGenoSubsetFlank(g, locus="any", flank_bp=500_000, assembly="hg19",
+                       pos_mid=None):
+    """Subset genotypes to the flanking region of a locus
+    (hlaGenoSubsetFlank, R/DataUtilities.R:360)."""
+    import numpy as _np
+    ids = flanking_snps(g.snp_id, g.snp_position, locus, flank_bp,
+                        assembly, pos_mid)
+    return g.subset(snp_mask=_np.isin(g.snp_id.astype(str), ids.astype(str)))
+
+
 def hlaAlleleSubset(t, samp_sel):
     return t.subset(samp_sel)
 

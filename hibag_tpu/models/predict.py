@@ -107,6 +107,60 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
     return ens, wsum, log_match, w
 
 
+@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def _predict_block_ens(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
+                       geno_codes, n_alleles):
+    """Whole-ensemble prediction for one sample block via the accumulating
+    Pallas kernel (single launch; classifiers on the fast grid axis)."""
+    from ..ops.scoring import geno_coefficients
+    from ..ops.scoring_pallas import NB, ensemble_accumulate_pallas
+
+    def _ru(x, m):
+        return ((x + m - 1) // m) * m
+
+    C, Hm, L = hap_bits.shape
+    n = geno_codes.shape[0]
+    A = n_alleles
+    Hp = _ru(Hm, 128)
+    Ac = _ru(A, 128)
+    Ap = _ru(A, 8)
+    Np = _ru(n, NB)
+
+    safe = jnp.maximum(snp_index, 0)                       # [C, L]
+    in_cls = snp_index >= 0
+    g = jnp.take(geno_codes, safe.reshape(-1), axis=1)     # [n, C*L]
+    g = jnp.moveaxis(g.reshape(n, C, L), 0, 1)             # [C, n, L]
+    g = jnp.where(in_cls[:, None, :], g, GENO_MISSING).astype(jnp.int8)
+    wsnp = jnp.take(snp_weight, safe) * in_cls             # [C, L]
+    nonmiss = g != GENO_MISSING
+    w = ((nonmiss * wsnp[:, None, :]).sum(-1)
+         / jnp.maximum(wsnp.sum(-1, keepdims=True), 1)).astype(jnp.float32)
+
+    hb = jnp.zeros((C, Hp, L), jnp.float32).at[:, :Hm].set(
+        hap_bits.astype(jnp.float32))
+    W = jnp.zeros((C, Hp, Ac), jnp.float32).at[:, :Hm].set(
+        jax.nn.one_hot(hap_allele, Ac, dtype=jnp.float32)
+        * hap_freq[..., None].astype(jnp.float32))
+    valid = jnp.zeros((C, Hp, 1), jnp.float32).at[:, :Hm].set(
+        (hap_freq > 0).astype(jnp.float32)[..., None])
+    gp = jnp.full((C, Np, L), GENO_MISSING, jnp.int8).at[:, :n].set(g)
+    alpha, u, m1 = geno_coefficients(gp, jnp.float32)
+    wp = jnp.zeros((C, Np, 1), jnp.float32).at[:, :n, 0].set(w)
+
+    ens, dmin, total = ensemble_accumulate_pallas(
+        hb, W, valid, alpha[..., None], u, m1, wp, Ap,
+        interpret=jax.default_backend() == "cpu")
+    ens = ens[:n, :A, :A]
+    dmin = dmin[:, :n]
+    total = total[:, :n]
+    wsum = w.sum(0)
+    log_match = (jnp.log(jnp.maximum(w, 1e-30)) + jnp.log(total)
+                 + LOG_MIN_RARE_FREQ * dmin)
+    log_match = jnp.where(w > 0, log_match, -jnp.inf)
+    ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
+    return ens, wsum, log_match, w
+
+
 @dataclass
 class PredictionResult:
     """Prediction output (hlaAlleleClass equivalent, value df + extras)."""
@@ -205,8 +259,13 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if pad:
             chunk = np.pad(chunk, ((0, pad), (0, 0)),
                            constant_values=GENO_MISSING)
-        ens, wsum, log_match, w = _predict_block(
-            hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine, cchunk)
+        if engine == "pallas" and vote == "prob":
+            ens, wsum, log_match, w = _predict_block_ens(
+                hb, hf, ha, si, sw, jnp.asarray(chunk), A)
+        else:
+            ens, wsum, log_match, w = _predict_block(
+                hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,
+                cchunk)
         ens = np.asarray(ens, dtype=np.float64)
         wsum = np.asarray(wsum, dtype=np.float64)
         log_match = np.asarray(log_match, dtype=np.float64)  # [C, n]

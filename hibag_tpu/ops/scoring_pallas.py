@@ -113,6 +113,202 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _kernel_ens(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
+                s_out, dmin_out, total_out, hm_s, d_s, t_s):
+    hb = hb_ref[0]                        # [H, L]
+    w = w_ref[0]                          # [H, A]
+    invalid = 1.0 - valid_ref[0]          # [H, 1]
+    v = jnp.dot(hb, u_ref[0].T, preferred_element_type=jnp.float32)
+
+    for s in range(NB):
+        hm_s[:] = hb * m1_ref[0, s, :][None, :]
+        d_s[:] = 2.0 * jnp.dot(hm_s[:], hb.T,
+                               preferred_element_type=jnp.float32)
+        D = (alpha_ref[0, s, 0] + v[:, s:s + 1] + v[:, s][None, :] + d_s[:]
+             + BIG * invalid + BIG * invalid.T)
+        dmin = jnp.min(D)
+        pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
+        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        s_out[0, s] = S
+        dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
+        total_out[0, pl.ds(s, 1), :] = jnp.sum(S).reshape(1, 1)
+
+
+def _kernel_ens_acc(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
+                    wgt_ref, ens_out, dmin_out, total_out, hm_s, d_s, t_s):
+    """Accumulating ensemble kernel: grid (N//NB, C) with classifiers on the
+    FAST axis, so the ensemble block stays resident in VMEM while every
+    classifier's weighted unordered posterior is added into it."""
+    c = pl.program_id(1)
+    hb = hb_ref[0]
+    w = w_ref[0]
+    invalid = 1.0 - valid_ref[0]
+    v = jnp.dot(hb, u_ref[0].T, preferred_element_type=jnp.float32)
+    Ac = w.shape[1]
+    Ap = ens_out.shape[1]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Ac, Ac), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Ac, Ac), 1)
+    offdiag = jnp.where(ii == jj, 1.0, 2.0)
+
+    for s in range(NB):
+        hm_s[:] = hb * m1_ref[0, s, :][None, :]
+        d_s[:] = 2.0 * jnp.dot(hm_s[:], hb.T,
+                               preferred_element_type=jnp.float32)
+        D = (alpha_ref[0, s, 0] + v[:, s:s + 1] + v[:, s][None, :] + d_s[:]
+             + BIG * invalid + BIG * invalid.T)
+        dmin = jnp.min(D)
+        pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
+        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        total = jnp.sum(S)
+        wgt = wgt_ref[0, s, 0]
+        contrib = (S * offdiag * (wgt / jnp.maximum(total, 1e-30)))[:Ap, :]
+
+        @pl.when(c == 0)
+        def _():
+            ens_out[s] = contrib
+
+        @pl.when(c != 0)
+        def _():
+            ens_out[s] += contrib
+
+        dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
+        total_out[0, pl.ds(s, 1), :] = total.reshape(1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("a_rows", "interpret"))
+def ensemble_accumulate_pallas(hap_bits, W, valid, alpha, u, m1, wgt,
+                               a_rows, interpret=False):
+    """Weighted ensemble posterior in ONE kernel launch.
+
+    hap_bits [C,H,L]; W [C,H,Ac]; valid [C,H,1]; alpha [C,N,1];
+    u/m1 [C,N,L]; wgt [C,N,1] per-classifier per-sample weights.
+    a_rows: padded allele-row count (multiple of 8) for the output.
+
+    Returns (ens [N, a_rows, Ac] = sum_c wgt*Q_c/total_c in the symmetric
+    unordered convention, dmin [C,N], total [C,N]).
+    """
+    C, H, L = hap_bits.shape
+    Ac = W.shape[2]
+    N = alpha.shape[1]
+    assert H % 128 == 0 and Ac % 128 == 0 and N % NB == 0, (H, Ac, N)
+
+    grid = (N // NB, C)
+    ens, dmin, total = pl.pallas_call(
+        _kernel_ens_acc,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, L), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, Ac), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 1), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, L), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, L), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, a_rows, Ac), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, a_rows, Ac), jnp.float32),
+            jax.ShapeDtypeStruct((C, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, L), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((H, Ac), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * N * (H * L + H * H * L + 2 * H * H * Ac),
+            bytes_accessed=(N * a_rows * Ac + C * (H * L + H * Ac)) * 4,
+            transcendentals=C * N * H * H,
+        ),
+        interpret=interpret,
+    )(hap_bits, W, valid, alpha, u, m1, wgt)
+    return ens, dmin[..., 0], total[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ensemble_scores_pallas(hap_bits, W, valid, alpha, u, m1,
+                           interpret=False):
+    """Whole-ensemble posterior scores in ONE kernel launch.
+
+    hap_bits [C, H, L]; W [C, H, A]; valid [C, H, 1]; alpha [C, N, 1];
+    u/m1 [C, N, L] (per-classifier gathered genotype coefficients).
+    Grid is (C, N//NB): the classifier axis rides the grid instead of a
+    host-side scan, amortizing launch overhead across the ensemble.
+
+    Returns S [C, N, A, A], dmin [C, N], total [C, N].
+    """
+    C, H, L = hap_bits.shape
+    A = W.shape[2]
+    N = alpha.shape[1]
+    assert H % 128 == 0 and A % 128 == 0 and N % NB == 0, (H, A, N)
+
+    grid = (C, N // NB)
+    S, dmin, total = pl.pallas_call(
+        _kernel_ens,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, L), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, A), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, 1), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, L), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, L), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NB, A, A), lambda c, i: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NB, 1), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, N, A, A), jnp.float32),
+            jax.ShapeDtypeStruct((C, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, N, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, L), jnp.float32),
+            pltpu.VMEM((H, H), jnp.float32),
+            pltpu.VMEM((H, A), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * N * (H * L + H * H * L + 2 * H * H * A),
+            bytes_accessed=C * (N * (A * A + 2 * L) + H * L + H * A) * 4,
+            transcendentals=C * N * H * H,
+        ),
+        interpret=interpret,
+    )(hap_bits, W, valid, alpha, u, m1)
+    return S, dmin[..., 0], total[..., 0]
+
+
 def classifier_posteriors(hap_bits, hap_freq, hap_allele, geno_codes,
                           n_alleles, interpret=False):
     """Drop-in equivalent of ops.scoring.posterior_scores built on the

@@ -49,3 +49,38 @@ def test_pallas_missing_heavy():
                                 interpret=jax.default_backend() == "cpu")
     np.testing.assert_allclose(np.asarray(out["S"]), np.asarray(ref["S"]),
                                rtol=2e-4, atol=1e-30)
+
+
+def test_ensemble_accumulate_matches_scan():
+    """The single-launch ensemble kernel equals the per-classifier scan."""
+    from hibag_tpu.models.predict import _predict_block, _predict_block_ens
+    rng = np.random.default_rng(11)
+    C, H, L, A, n, P = 4, 24, 128, 9, 16, 300
+    hb = np.zeros((C, H, L), np.float32)
+    hf = np.zeros((C, H), np.float32)
+    ha = np.zeros((C, H), np.int32)
+    si = np.full((C, L), -1, np.int32)
+    for c in range(C):
+        ns = rng.integers(8, 20)
+        nh = rng.integers(6, H)
+        hb[c, :nh, :ns] = rng.integers(0, 2, (nh, ns))
+        f = rng.random(nh)
+        hf[c, :nh] = f / f.sum()
+        ha[c, :nh] = np.sort(rng.integers(0, A, nh))
+        si[c, :ns] = rng.permutation(P)[:ns]
+    sw = np.zeros(P, np.int32)
+    for c in range(C):
+        sw[si[c][si[c] >= 0]] += 1
+    geno = rng.integers(0, 4, (n, P)).astype(np.uint8)
+
+    args = (jnp.asarray(hb), jnp.asarray(hf), jnp.asarray(ha),
+            jnp.asarray(si), jnp.asarray(sw), jnp.asarray(geno))
+    ens1, wsum1, lm1, w1 = _predict_block(*args, A, "prob", "jnp", 1)
+    ens2, wsum2, lm2, w2 = _predict_block_ens(*args, A)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wsum2), np.asarray(wsum1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ens2), np.asarray(ens1),
+                               rtol=3e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lm2), np.asarray(lm1),
+                               rtol=1e-3, atol=1e-3)
