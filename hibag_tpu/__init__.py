@@ -27,6 +27,7 @@ from .eval.report import report
 from .io.bed import read_bed, write_ped
 from .io.rdata import read_rdata, read_rds, r_to_py
 from .io.vcf import write_vcf
+from .io.vcf_in import read_vcf
 from .models.introspect import allele_distance, geno_ld, ld_matrix, summarize
 from .models.model import AttrBagModel, Classifier, PackedEnsemble
 from .models.predict import PredictionResult, predict
@@ -54,6 +55,7 @@ hlaLociInfo = loci_info
 hlaBED2Geno = read_bed
 hlaGeno2PED = write_ped
 hlaAlleleToVCF = write_vcf
+hlaVCF2Geno = read_vcf
 hlaGenoCombine = combine_geno
 hlaGenoSwitchStrand = switch_strand
 hlaPublish = publish
