@@ -44,17 +44,7 @@ BIG = 1e9
 # pair matching (PrepareHaplotypes)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
-    """Per-sample matched haplotype-pair masks.
-
-    bits [H, L] {0,1}; valid [H] bool; allele [H] int; geno_sel [S, L] codes
-    over the currently selected SNPs (missing/pad = 3); samp_a1/samp_a2 [S]
-    the known HLA alleles of each in-bag sample (a1 <= a2).
-
-    Returns mask [S, H, H] bool (symmetric), the reference's min-Hamming
-    matched set (reference _PrepHaploMatch_def, src/LibHLA.cpp:1569-1636).
-    """
+def _match_chunk(bits, valid, allele, geno_sel, samp_a1, samp_a2):
     D = pair_distance(bits, geno_sel)  # [S, H, H]
     ok1 = valid[None, :] & (allele[None, :] == samp_a1[:, None])  # [S, H]
     ok2 = valid[None, :] & (allele[None, :] == samp_a2[:, None])
@@ -65,33 +55,83 @@ def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
     return block & (Dm == dmin)
 
 
+def _pick_chunk(n: int, target: int = 256) -> int:
+    """Largest divisor-friendly sample-chunk size <= target (n is padded by
+    callers so a clean chunking exists; falls back to n)."""
+    if n <= target:
+        return n
+    for c in (256, 128, 64, 32, 16, 8):
+        if c <= target and n % c == 0:
+            return c
+    return n
+
+
+def _chunk_for_budget(n: int, per_sample_elems: int,
+                      budget_elems: int = 16 * 1024 * 1024) -> int:
+    """Sample-chunk size keeping the largest per-chunk intermediate under
+    ~budget_elems f32 elements (64 MiB at the default)."""
+    target = max(8, budget_elems // max(per_sample_elems, 1))
+    return _pick_chunk(n, min(target, 256))
+
+
+@jax.jit
+def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
+    """Per-sample matched haplotype-pair masks.
+
+    bits [H, L] {0,1}; valid [H] bool; allele [H] int; geno_sel [S, L] codes
+    over the currently selected SNPs (missing/pad = 3); samp_a1/samp_a2 [S]
+    the known HLA alleles of each in-bag sample (a1 <= a2).
+
+    Returns mask [S, H, H] bool (symmetric), the reference's min-Hamming
+    matched set (reference _PrepHaploMatch_def, src/LibHLA.cpp:1569-1636).
+    Processes samples in chunks so only a [chunk, H, H] float distance
+    matrix is ever materialized (the bool mask is the persistent output).
+    """
+    S = geno_sel.shape[0]
+    H = bits.shape[0]
+    c = _chunk_for_budget(S, H * H, 4 * 1024 * 1024)
+    if c == S:
+        return _match_chunk(bits, valid, allele, geno_sel, samp_a1, samp_a2)
+    G = S // c
+
+    def body(_, xs):
+        gs, a1c, a2c = xs
+        return None, _match_chunk(bits, valid, allele, gs, a1c, a2c)
+
+    _, out = jax.lax.scan(
+        body, None,
+        (geno_sel.reshape(G, c, -1), samp_a1.reshape(G, c),
+         samp_a2.reshape(G, c)))
+    return out.reshape(S, *out.shape[2:])
+
+
 # ---------------------------------------------------------------------------
 # EM over all candidates at once
 # ---------------------------------------------------------------------------
 
-def _em_estep(fA, fB, mask_f, B, g_new, total_n):
-    """One E+M step for all candidates.
+def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
+    """E+M contributions from one sample chunk.
 
-    fA/fB [C, H]; mask_f [S, H, H] float; B [S]; g_new [C, S] codes;
-    returns (fA', fB' [C, H], loglik [C]).
+    fA/fB [C, H]; mask_c [c, H, H] bool; B_c [c]; g_c [C, c] codes.
+    Returns (dfA, dfB [C, H], dll [C]) — additive contributions.
     """
     C, H = fA.shape
-    S = mask_f.shape[0]
+    mask_f = mask_c.astype(jnp.float32)
     # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)      # [2C, S, H]
-    t0, t1 = t[:C], t[C:]                                   # [C, S, H]
-    q00 = fA[:, None, :] * t0                               # [C, S, H]
+                   precision=jax.lax.Precision.HIGHEST)      # [2C, c, H]
+    t0, t1 = t[:C], t[C:]                                   # [C, c, H]
+    q00 = fA[:, None, :] * t0                               # [C, c, H]
     q01 = fA[:, None, :] * t1
     q10 = fB[:, None, :] * t0
     q11 = fB[:, None, :] * t1
-    s00 = q00.sum(-1)                                       # [C, S]
+    s00 = q00.sum(-1)                                       # [C, c]
     s01 = q01.sum(-1)
     s10 = q10.sum(-1)
     s11 = q11.sum(-1)
-    g = g_new[:, :]                                         # [C, S]
+    g = g_c
     is0, is1, is2 = (g == 0), (g == 1), (g == 2)
     isna = ~(is0 | is1 | is2)
     psum = jnp.where(is0, s00,
@@ -99,18 +139,44 @@ def _em_estep(fA, fB, mask_f, B, g_new, total_n):
            jnp.where(is2, s11, s00 + s01 + s10 + s11)))
     num0 = (jnp.where(is0[..., None], q00, 0)
             + jnp.where(is1[..., None], q01, 0)
-            + jnp.where(isna[..., None], q00 + q01, 0))     # [C, S, H]
+            + jnp.where(isna[..., None], q00 + q01, 0))     # [C, c, H]
     num1 = (jnp.where(is1[..., None], q10, 0)
             + jnp.where(is2[..., None], q11, 0)
             + jnp.where(isna[..., None], q10 + q11, 0))
-    psum_safe = jnp.maximum(psum, 1e-300 if psum.dtype == jnp.float64 else 1e-37)
-    wgt = (B[None, :] / psum_safe)                          # [C, S]
-    fA_new = jnp.einsum("cs,csh->ch", wgt, num0,
-                        precision=jax.lax.Precision.HIGHEST) / total_n
-    fB_new = jnp.einsum("cs,csh->ch", wgt, num1,
-                        precision=jax.lax.Precision.HIGHEST) / total_n
-    loglik = (B[None, :] * jnp.log(psum_safe)).sum(-1)      # [C]
-    return fA_new, fB_new, loglik
+    psum_safe = jnp.maximum(psum, 1e-37)
+    wgt = (B_c[None, :] / psum_safe)                        # [C, c]
+    dfA = jnp.einsum("cs,csh->ch", wgt, num0,
+                     precision=jax.lax.Precision.HIGHEST) / total_n
+    dfB = jnp.einsum("cs,csh->ch", wgt, num1,
+                     precision=jax.lax.Precision.HIGHEST) / total_n
+    dll = (B_c[None, :] * jnp.log(psum_safe)).sum(-1)       # [C]
+    return dfA, dfB, dll
+
+
+def _em_estep(fA, fB, mask, B, g_new, total_n):
+    """One E+M step over all samples, scanning over sample chunks so the
+    dense float expansion of the bool pair mask stays [chunk, H, H]."""
+    C, H = fA.shape
+    S = mask.shape[0]
+    # mask chunk f32 [c,H,H] and t [2C,c,H] dominate
+    c = _chunk_for_budget(S, max(H * H, 2 * C * H))
+    if c == S:
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
+        return dfA, dfB, dll
+    G = S // c
+
+    def body(carry, xs):
+        accA, accB, accL = carry
+        mask_c, B_c, gT_c = xs
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c, B_c, gT_c.T, total_n)
+        return (accA + dfA, accB + dfB, accL + dll), None
+
+    (accA, accB, accL), _ = jax.lax.scan(
+        body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
+               jnp.zeros(C, jnp.float32)),
+        (mask.reshape(G, c, H, H), B.reshape(G, c),
+         g_new.T.reshape(G, c, C)))
+    return accA, accB, accL
 
 
 #: default EM convergence reltol — sqrt(machine eps) of the compute dtype,
@@ -135,13 +201,12 @@ def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
     Returns (fA [C,H], fB [C,H], loglik [C], n_iter [C]).
     """
     C = g_new.shape[0]
-    mask_f = mask.astype(jnp.float32)
     v = valid.astype(freq0.dtype)
     # DoubleHaplosInitFreq (src/LibHLA.cpp:447-459): p0*f + eps, p1*f + eps
     fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
 
-    fA1, fB1, ll1, = _em_estep(fA0, fB0, mask_f, B, g_new, total_n)
+    fA1, fB1, ll1 = _em_estep(fA0, fB0, mask, B, g_new, total_n)
     tol = reltol * (jnp.abs(ll1) + reltol)
 
     def cond(state):
@@ -150,7 +215,7 @@ def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
 
     def body(state):
         fA, fB, ll_old, done, it = state
-        fA_new, fB_new, ll = _em_estep(fA, fB, mask_f, B, g_new, total_n)
+        fA_new, fB_new, ll = _em_estep(fA, fB, mask, B, g_new, total_n)
         newly_done = jnp.abs(ll - ll_old) <= tol
         keep = done[:, None]
         fA = jnp.where(keep, fA, fA_new)
@@ -217,57 +282,76 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
     C, H = fA.shape
     Neval = geno_sel_eval.shape[0]
     A = n_alleles
-    q = MIN_RARE_FREQ
 
-    # shared penalty matrix over base haplotypes (selected SNPs only)
-    D = pair_distance(bits, geno_sel_eval)              # [Neval, H, H]
     ok = (fA > 0) | (fB > 0)                            # [C, H]
     base_ok = jnp.any(ok, axis=0)                       # [H]
     pair_ok = base_ok[:, None] & base_ok[None, :]
-    Dm = jnp.where(pair_ok[None], D, BIG)
-    dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)      # [Neval,1,1]
-    Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
-    Pen = jnp.where(pair_ok[None], Pen, 0.0)            # [Neval, H, H]
-
-    # per-candidate allele-grouped weight matrices for bit 0/1
-    onehot = jax.nn.one_hot(allele, A, dtype=Pen.dtype)  # [H, A]
+    onehot = jax.nn.one_hot(allele, A, dtype=jnp.float32)  # [H, A]
     Mf = jnp.stack([fA, fB], axis=1)[..., None] * onehot[None, None]
     # Mf: [C, 2, H, A]
-    T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)   # [C,Neval,2,H,A]
-    Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [C,N,2,2,A,A]
-    # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d table):
-    # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
-    g = g_cand_eval                                      # [C, Neval]
     s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]])         # b1+b2
-    delta = jnp.select(
-        [g[..., None, None] == 0, g[..., None, None] == 1,
-         g[..., None, None] == 2],
-        [s_grid[None, None], jnp.abs(s_grid - 1.0)[None, None],
-         (2.0 - s_grid)[None, None]],
-        jnp.zeros((1, 1, 2, 2)))                         # [C,Neval,2,2]
-    pd = jnp.exp(LOG_MIN_RARE_FREQ * delta)
-    S = jnp.einsum("cnbe,cnbeAB->cnAB", pd, Sb)          # [C,Neval,A,A]
 
-    total = S.sum((2, 3))                                # [C, Neval]
-    flat = S.reshape(C, Neval, A * A)
-    b = jnp.argmax(flat, axis=2)
-    g1, g2 = b // A, b % A
-    g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
-    # CHLATypeList::Compare (src/LibHLA.cpp:911-924)
-    p1, p2, t1, t2 = g1, g2, true_a1[None, :], true_a2[None, :]
-    m1 = (p1 == t1) | (p1 == t2)
-    t1u = jnp.where(m1 & (p1 == t1), -1, t1)
-    t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
-    m2 = (p2 == t1u) | (p2 == t2u)
-    cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
-    accs = jnp.where(is_oob[None] & (total > 0), cnt, 0).sum(1)
-    # in-bag log-lik of the true pair
-    tq = S[:, jnp.arange(Neval), true_a1, true_a2]
-    tq = tq * jnp.where(true_a1 == true_a2, 1.0, 2.0)[None]
-    post = tq / jnp.maximum(total, 1e-37)
-    lls = -2.0 * (B[None] * jnp.log(jnp.maximum(post, 1e-37))).sum(1)
+    def chunk_fn(geno_c, g_cand_c, a1_c, a2_c, oob_c, B_c):
+        n = geno_c.shape[0]
+        # shared penalty matrix over base haplotypes (selected SNPs only)
+        D = pair_distance(bits, geno_c)                  # [n, H, H]
+        Dm = jnp.where(pair_ok[None], D, BIG)
+        dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
+        Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
+        Pen = jnp.where(pair_ok[None], Pen, 0.0)         # [n, H, H]
+        T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [C,n,2,H,A]
+        Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d):
+        # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
+        g = g_cand_c                                     # [C, n]
+        delta = jnp.select(
+            [g[..., None, None] == 0, g[..., None, None] == 1,
+             g[..., None, None] == 2],
+            [s_grid[None, None], jnp.abs(s_grid - 1.0)[None, None],
+             (2.0 - s_grid)[None, None]],
+            jnp.zeros((1, 1, 2, 2)))
+        pd = jnp.exp(LOG_MIN_RARE_FREQ * delta)
+        S = jnp.einsum("cnbe,cnbeAB->cnAB", pd, Sb)      # [C, n, A, A]
+
+        total = S.sum((2, 3))
+        flat = S.reshape(C, n, A * A)
+        b = jnp.argmax(flat, axis=2)
+        g1, g2 = b // A, b % A
+        g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
+        # CHLATypeList::Compare (src/LibHLA.cpp:911-924)
+        p1, p2, t1, t2 = g1, g2, a1_c[None, :], a2_c[None, :]
+        m1 = (p1 == t1) | (p1 == t2)
+        t1u = jnp.where(m1 & (p1 == t1), -1, t1)
+        t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
+        m2 = (p2 == t1u) | (p2 == t2u)
+        cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
+        acc_d = jnp.where(oob_c[None] & (total > 0), cnt, 0).sum(1)
+        tq = S[:, jnp.arange(n), a1_c, a2_c]
+        tq = tq * jnp.where(a1_c == a2_c, 1.0, 2.0)[None]
+        post = tq / jnp.maximum(total, 1e-37)
+        ll_d = -2.0 * (B_c[None] * jnp.log(jnp.maximum(post, 1e-37))).sum(1)
+        return acc_d, ll_d
+
+    # the [C, chunk, 2, H, A] contraction intermediate dominates memory
+    c = _chunk_for_budget(Neval, C * 2 * H * A, 8 * 1024 * 1024)
+    if c == Neval:
+        return chunk_fn(geno_sel_eval, g_cand_eval, true_a1, true_a2,
+                        is_oob, B)
+    G = Neval // c
+
+    def body(carry, xs):
+        acc, ll = carry
+        geno_c, gT_c, a1_c, a2_c, oob_c, B_c = xs
+        da, dl = chunk_fn(geno_c, gT_c.T, a1_c, a2_c, oob_c, B_c)
+        return (acc + da, ll + dl), None
+
+    (accs, lls), _ = jax.lax.scan(
+        body, (jnp.zeros(C, jnp.int32), jnp.zeros(C, jnp.float32)),
+        (geno_sel_eval.reshape(G, c, -1), g_cand_eval.T.reshape(G, c, C),
+         true_a1.reshape(G, c), true_a2.reshape(G, c),
+         is_oob.reshape(G, c), B.reshape(G, c)))
     return accs, lls

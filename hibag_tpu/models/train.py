@@ -92,9 +92,20 @@ class TrainingContext:
 
     def __post_init__(self):
         self.n_samp, self.n_snp = self.geno.shape
-        self.geno_j = jnp.asarray(self.geno)
-        self.a1_j = jnp.asarray(self.a1)
-        self.a2_j = jnp.asarray(self.a2)
+        # pad the sample axis to a chunk-friendly multiple (64): padded rows
+        # are all-missing with zero bootstrap weight, so EM/eval sums are
+        # unchanged (tests/test_chunked.py) while the sample-chunked kernels
+        # keep clean 256/128/64 chunk splits
+        self.n_samp_pad = _round_up(self.n_samp, 64)
+        pad = self.n_samp_pad - self.n_samp
+        self.geno_pad = np.pad(self.geno, ((0, pad), (0, 0)),
+                               constant_values=GENO_MISSING)
+        self.geno_j = jnp.asarray(self.geno_pad)
+        self.a1_j = jnp.asarray(np.pad(self.a1, (0, pad)))
+        self.a2_j = jnp.asarray(np.pad(self.a2, (0, pad)))
+
+    def pad_B(self, B: np.ndarray) -> np.ndarray:
+        return np.pad(B, (0, self.n_samp_pad - self.n_samp))
 
 
 @dataclass
@@ -127,15 +138,18 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
     """Grow one classifier: greedy forward SNP selection
     (CVariableSelection::Search, src/LibHLA.cpp:1981-2122)."""
     N, P = ctx.n_samp, ctx.n_snp
+    Np = ctx.n_samp_pad
     L = MAXNUM_SNP
     n_oob = int((B == 0).sum())
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
-    Bj = jnp.asarray(B.astype(np.float32))
-    is_oob_j = jnp.asarray(B == 0)
+    B_pad = ctx.pad_B(B.astype(np.float32))
+    Bj = jnp.asarray(B_pad)
+    is_oob_j = jnp.asarray((B_pad == 0)
+                           & (np.arange(Np) < N))
 
     state = _init_haplotype(ctx, B)
     snp_sel: list[int] = []
-    geno_sel = np.full((N, L), GENO_MISSING, dtype=np.int8)
+    geno_sel = np.full((Np, L), GENO_MISSING, dtype=np.int8)
     geno_sel_j = jnp.asarray(geno_sel)
 
     sampling = SamplingWithoutReplace(P)
@@ -170,11 +184,11 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         cand_idx[:Cm] = cands
 
         # PrepareNewSNP: bootstrap-weighted allele freq, monomorphic filter
-        g_cand = ctx.geno[:, cand_idx].T.astype(np.int8)      # [Cm, N]
+        g_cand = ctx.geno_pad[:, cand_idx].T.astype(np.int8)   # [Cm, Np]
         gv = g_cand.astype(np.int64)
         ok = gv <= 2
-        allele_cnt = np.where(ok, gv, 0) @ B
-        valid_cnt = 2 * (ok @ B)
+        allele_cnt = np.where(ok, gv, 0) @ B_pad.astype(np.int64)
+        valid_cnt = 2 * (ok @ B_pad.astype(np.int64))
         cand_ok = (allele_cnt > 0) & (allele_cnt < valid_cnt)
         cand_ok[Cm:] = False
         afreq = np.where(cand_ok, allele_cnt / np.maximum(valid_cnt, 1), 0.5)
@@ -248,7 +262,7 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
                 freq=np.asarray(new_freq, dtype=np.float64),
                 allele=np.asarray(new_allele, dtype=np.int32))
             snp_sel.append(int(chosen_snp))
-            geno_sel[:, n_old] = ctx.geno[:, chosen_snp]
+            geno_sel[:, n_old] = ctx.geno_pad[:, chosen_snp]
             geno_sel_j = jnp.asarray(geno_sel)
             if prune:
                 sampling.set_selected(min_i, -1)
@@ -294,18 +308,22 @@ def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
 
     K = len(rngs)
     N, Pn = ctx.n_samp, ctx.n_snp
+    Np = ctx.n_samp_pad
     L = MAXNUM_SNP
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
 
-    Bs = np.stack([r.bootstrap_counts(N) for r in rngs])   # [K, N]
-    states = [_init_haplotype(ctx, Bs[k]) for k in range(K)]
+    Bs_real = np.stack([r.bootstrap_counts(N) for r in rngs])   # [K, N]
+    Bs = np.stack([ctx.pad_B(b) for b in Bs_real])              # [K, Np]
+    states = [_init_haplotype(ctx, Bs_real[k]) for k in range(K)]
     snp_sels: list[list[int]] = [[] for _ in range(K)]
-    geno_sel = np.full((K, N, L), GENO_MISSING, dtype=np.int8)
+    geno_sel = np.full((K, Np, L), GENO_MISSING, dtype=np.int8)
     samplings = [SamplingWithoutReplace(Pn) for _ in range(K)]
     gmax_acc = [0] * K
     gmin_loss = [1e30] * K
     done = [False] * K
-    n_oob = (Bs == 0).sum(1)
+    n_oob = (Bs_real == 0).sum(1)
+    real_row = np.arange(Np) < N
+    is_oob_arr = (Bs == 0) & real_row[None, :]
 
     shard = None
     if mesh is not None:
@@ -337,7 +355,7 @@ def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
             cands_k.append(c)
             cand_idx[k, :len(c)] = c
 
-        g_cand = np.take(ctx.geno, cand_idx, axis=1)       # [N, K, Cm]
+        g_cand = np.take(ctx.geno_pad, cand_idx, axis=1)    # [Np, K, Cm]
         g_cand = np.moveaxis(g_cand, 0, 2).astype(np.int8)  # [K, Cm, N]
         gv = g_cand.astype(np.int64)
         okg = gv <= 2
@@ -351,9 +369,9 @@ def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
 
         fA, fB, acc_b, loss_b = batched_grow_step(
             put(bits), put(freq), put(allele), put(geno_sel),
-            put(Bs.astype(np.float32)), put(g_cand),
+            put(Bs.astype(np.float32)), put(is_oob_arr), put(g_cand),
             put(afreq.astype(np.float32)), put(new_col),
-            jnp.asarray(ctx.a1), jnp.asarray(ctx.a2),
+            ctx.a1_j, ctx.a2_j,
             rare_prob, float(N), ctx.n_alleles)
         fA = np.asarray(fA, dtype=np.float64)
         fB = np.asarray(fB, dtype=np.float64)
@@ -413,7 +431,7 @@ def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
                     allele=np.asarray(new_allele, dtype=np.int32))
                 chosen = cands[min_i]
                 snp_sels[k].append(int(chosen))
-                geno_sel[k, :, n_old] = ctx.geno[:, chosen]
+                geno_sel[k, :, n_old] = ctx.geno_pad[:, chosen]
                 if prune:
                     samplings[k].set_selected(min_i, -1)
                     samplings[k].remove_flagged()

@@ -145,14 +145,15 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
 @functools.partial(
     jax.jit,
     static_argnames=("n_alleles", "mtry", "prune", "max_steps"))
-def fused_grow_batch(bits0, freq0, allele0, B, geno, a1, a2, key0,
+def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                      rare_prob, total_n, n_alleles, mtry, prune=True,
                      max_steps=256):
     """Grow K classifiers entirely on device.
 
     bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
-    haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts;
-    geno [N, P] codes; a1/a2 [N]; key0 [K] PRNG keys.
+    haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts (0 in padded
+    rows); real [N] bool marks genuine samples; geno [N, P] codes;
+    a1/a2 [N]; key0 [K] PRNG keys.
 
     Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K]).
     """
@@ -241,7 +242,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, geno, a1, a2, key0,
         return (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
                 gmax_acc, gmin_loss, done, key)
 
-    is_oob = B == 0
+    is_oob = (B == 0) & real[None, :]
 
     def cond(state: GrowState):
         return (~jnp.all(state.done)) & (state.steps < max_steps)
@@ -282,13 +283,15 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
 
     # bootstrap from the R-replica stream (cheap, host), per classifier
-    Bs = np.stack([RRng((seed + 1000003 * (first_id + j)) % (2**31 - 1))
-                   .bootstrap_counts(N) for j in range(K)])
+    Bs_real = np.stack([RRng((seed + 1000003 * (first_id + j)) % (2**31 - 1))
+                        .bootstrap_counts(N) for j in range(K)])
+    Bs = np.stack([ctx.pad_B(b) for b in Bs_real])
+    real = np.arange(ctx.n_samp_pad) < N
     bits0 = np.zeros((K, hcap, L), np.float32)
     freq0 = np.zeros((K, hcap), np.float32)
     allele0 = np.zeros((K, hcap), np.int32)
     for k in range(K):
-        st = _init_haplotype(ctx, Bs[k])
+        st = _init_haplotype(ctx, Bs_real[k])
         h = len(st.freq)
         if h > hcap:
             raise ValueError(f"hcap {hcap} < initial haplotypes {h}")
@@ -299,7 +302,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       for j in range(K)])
     bits, freq, allele, n_snp, snp_order, acc_cnt = fused_grow_batch(
         jnp.asarray(bits0), jnp.asarray(freq0), jnp.asarray(allele0),
-        jnp.asarray(Bs.astype(np.float32)), jnp.asarray(ctx.geno),
+        jnp.asarray(Bs.astype(np.float32)), jnp.asarray(real), ctx.geno_j,
         ctx.a1_j, ctx.a2_j, keys, rare_prob, float(N), ctx.n_alleles,
         mtry, prune, max_steps)
 
@@ -315,13 +318,13 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         sel = freq[k] > 0
         # order haplotypes by allele for the standard grouped layout
         order = np.argsort(allele[k][sel], kind="stable")
-        n_oob = int((Bs[k] == 0).sum())
+        n_oob = int((Bs_real[k] == 0).sum())
         out.append(Classifier(
             snp_index=snp_order[k, :ns].astype(np.int32),
             hap_bits=bits[k][sel][order][:, :ns].astype(np.uint8),
             hap_freq=freq[k][sel][order],
             hap_allele=allele[k][sel][order].astype(np.int32),
-            bootstrap_count=Bs[k].astype(np.int32),
+            bootstrap_count=Bs_real[k].astype(np.int32),
             oob_accuracy=float(0.5 * acc_cnt[k] / max(n_oob, 1)),
         ))
     return out

@@ -115,22 +115,21 @@ def gather_classifiers(local_model, n_classifiers: int):
 # batched (multi-classifier) greedy training step
 # ---------------------------------------------------------------------------
 
-def _grow_step_single(bits, freq, allele, geno_sel, B, g_cand, afreq,
-                      new_col, a1, a2, n_alleles, rare_prob, total_n):
+def _grow_step_single(bits, freq, allele, geno_sel, B, is_oob, g_cand,
+                      afreq, new_col, a1, a2, n_alleles, rare_prob, total_n):
     """Device work of ONE greedy step for ONE classifier (no decisions)."""
     valid = freq > 0
     mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
     fA, fB, ll_em, _ = em_all_candidates(freq, valid, mask, B, g_cand,
                                          afreq, total_n)
     fA, fB = erase_rare(fA, fB, rare_prob)
-    is_oob = B == 0
     acc, loss = evaluate_candidates(bits, allele, new_col, fA, fB, g_cand,
                                     geno_sel, a1, a2, is_oob, B, n_alleles)
     return fA, fB, acc, loss
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles",))
-def batched_grow_step(bits, freq, allele, geno_sel, B, g_cand, afreq,
+def batched_grow_step(bits, freq, allele, geno_sel, B, is_oob, g_cand, afreq,
                       new_col, a1, a2, rare_prob, total_n, n_alleles):
     """One greedy step for a BATCH of classifiers (leading axis K).
 
@@ -142,9 +141,10 @@ def batched_grow_step(bits, freq, allele, geno_sel, B, g_cand, afreq,
     reference's per-process classifier training.
     """
     fn = jax.vmap(_grow_step_single,
-                  in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None, None))
-    return fn(bits, freq, allele, geno_sel, B, g_cand, afreq, new_col,
-              a1, a2, n_alleles, rare_prob, total_n)
+                  in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0,
+                           None, None, None, None, None))
+    return fn(bits, freq, allele, geno_sel, B, is_oob, g_cand, afreq,
+              new_col, a1, a2, n_alleles, rare_prob, total_n)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""Sample-chunked EM/eval paths: padding samples with zero weight must not
+change results, and the multi-chunk scan must equal the single-chunk path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hibag_tpu.constants import GENO_MISSING
+from hibag_tpu.models.em import (em_all_candidates, evaluate_candidates,
+                                 match_pairs)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(5)
+    S, H, L, C, A, ns = 60, 40, 128, 6, 8, 12
+    bits = np.zeros((H, L), np.float32)
+    bits[:, :ns] = rng.integers(0, 2, (H, ns))
+    freq = rng.random(H).astype(np.float32)
+    freq[-5:] = 0
+    freq[freq > 0] /= freq[freq > 0].sum()
+    allele = np.sort(rng.integers(0, A, H)).astype(np.int32)
+    geno = np.full((S, L), GENO_MISSING, np.int8)
+    geno[:, :ns] = rng.integers(0, 3, (S, ns))
+    a1 = rng.integers(0, A, S).astype(np.int32)
+    a2 = rng.integers(0, A, S).astype(np.int32)
+    a1, a2 = np.minimum(a1, a2), np.maximum(a1, a2)
+    # force allele coverage so every sample has matching blocks
+    a1[:A] = np.arange(A); a2[:A] = np.arange(A)
+    B = rng.multinomial(S, np.ones(S) / S).astype(np.float32)
+    g_cand = rng.integers(0, 3, (C, S)).astype(np.int8)
+    afreq = rng.uniform(0.2, 0.8, C).astype(np.float32)
+    return bits, freq, allele, geno, a1, a2, B, g_cand, afreq
+
+
+def _pad(x, n, fill=0):
+    pad = [(0, n - x.shape[-1] if x.ndim == 1 else 0)]
+    if x.ndim == 1:
+        return np.concatenate([x, np.full(n - len(x), fill, x.dtype)])
+    return np.concatenate(
+        [x, np.full((x.shape[0], n - x.shape[1]), fill, x.dtype)], axis=1)
+
+
+def test_padded_samples_do_not_change_em(problem):
+    bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
+    S = geno.shape[0]
+    Sp = 512  # multi-chunk territory (chunk=256 → 2 chunks)
+    mask = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
+                       jnp.asarray(allele), jnp.asarray(geno),
+                       jnp.asarray(a1), jnp.asarray(a2))
+    fA, fB, ll, _ = em_all_candidates(
+        jnp.asarray(freq), jnp.asarray(freq > 0), mask, jnp.asarray(B),
+        jnp.asarray(g_cand), jnp.asarray(afreq), float(S))
+
+    geno_p = np.full((Sp, geno.shape[1]), GENO_MISSING, np.int8)
+    geno_p[:S] = geno
+    a1_p = _pad(a1, Sp); a2_p = _pad(a2, Sp)
+    B_p = _pad(B, Sp)                       # zero bootstrap weight
+    g_cand_p = _pad(g_cand, Sp, fill=3)
+    mask_p = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
+                         jnp.asarray(allele), jnp.asarray(geno_p),
+                         jnp.asarray(a1_p), jnp.asarray(a2_p))
+    np.testing.assert_array_equal(np.asarray(mask_p[:S]), np.asarray(mask))
+    fA2, fB2, ll2, _ = em_all_candidates(
+        jnp.asarray(freq), jnp.asarray(freq > 0), mask_p, jnp.asarray(B_p),
+        jnp.asarray(g_cand_p), jnp.asarray(afreq), float(S))
+    np.testing.assert_allclose(np.asarray(fA2), np.asarray(fA), rtol=2e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll), rtol=2e-5)
+
+
+def test_padded_samples_do_not_change_eval(problem):
+    bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
+    S = geno.shape[0]
+    Sp = 512
+    mask = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
+                       jnp.asarray(allele), jnp.asarray(geno),
+                       jnp.asarray(a1), jnp.asarray(a2))
+    fA, fB, _, _ = em_all_candidates(
+        jnp.asarray(freq), jnp.asarray(freq > 0), mask, jnp.asarray(B),
+        jnp.asarray(g_cand), jnp.asarray(afreq), float(S))
+    acc1, ll1 = evaluate_candidates(
+        jnp.asarray(bits), jnp.asarray(allele), jnp.asarray(12), fA, fB,
+        jnp.asarray(g_cand), jnp.asarray(geno), jnp.asarray(a1),
+        jnp.asarray(a2), jnp.asarray(B == 0), jnp.asarray(B), 8)
+
+    geno_p = np.full((Sp, geno.shape[1]), GENO_MISSING, np.int8)
+    geno_p[:S] = geno
+    acc2, ll2 = evaluate_candidates(
+        jnp.asarray(bits), jnp.asarray(allele), jnp.asarray(12), fA, fB,
+        jnp.asarray(_pad(g_cand, Sp, fill=3)), jnp.asarray(geno_p),
+        jnp.asarray(_pad(a1, Sp)), jnp.asarray(_pad(a2, Sp)),
+        jnp.asarray(np.concatenate([B == 0, np.zeros(Sp - S, bool)])),
+        jnp.asarray(_pad(B, Sp)), 8)
+    np.testing.assert_array_equal(np.asarray(acc2), np.asarray(acc1))
+    np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll1), rtol=2e-5)
