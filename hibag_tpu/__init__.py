@@ -45,7 +45,12 @@ hlaParallelAttrBagging = train_parallel
 hlaPredict = predict
 hlaPredMerge = pred_merge
 hlaCompareAllele = compare_alleles
-hlaAssocTest = assoc_test
+def hlaAssocTest(obj, y, **kwargs):
+    """Dispatch on input type like the reference's S3 generic: allele
+    tables run per-allele tests; amino-acid tables run per-position tests."""
+    if isinstance(obj, AASeqTable):
+        return aa_assoc_test(obj, y, **kwargs)
+    return assoc_test(obj, y, **kwargs)
 hlaAllele = HLATypeTable.from_alleles
 hlaAlleleDigit = allele_digit
 hlaUniqueAllele = unique_alleles

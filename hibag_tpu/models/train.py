@@ -463,7 +463,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    maf: float = float("nan"), verbose: bool = True,
                    with_matching: bool = True, hap_bucket: int = 64,
                    auto_save: Optional[str] = None,
-                   first_id: int = 0, mode: str = "host",
+                   first_id: int = 0, mode: str = "auto",
                    hcap: int = 256, max_steps: int = 256) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
@@ -477,6 +477,12 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
         hla_table, geno_data, na_rm=na_rm, mono_rm=mono_rm, maf=maf,
         hap_bucket=hap_bucket)
     m = _resolve_mtry(mtry, ctx.n_snp)
+    if mode == "auto":
+        # the fused loop's one-dispatch advantage only matters where
+        # dispatch latency dominates (accelerators, small cohorts); its
+        # big-shape compile cost does not pay off for large ones or on CPU
+        mode = ("fused" if jax.default_backend() != "cpu"
+                and ctx.n_samp_pad <= 512 else "host")
     if batch is None:
         batch = len(mesh.devices.flat) if mesh is not None \
             else min(8, max(1, len(jax.devices())))

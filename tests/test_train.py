@@ -87,3 +87,30 @@ def test_train_small_ensemble_accuracy(hla_A, flank_geno):
     m2 = AttrBagModel.from_hibag_obj(model.to_hibag_obj(), locus="A")
     res2 = predict(m2, va_geno)
     assert np.array_equal(res.allele1, res2.allele1)
+
+
+def test_serial_train_deterministic(hla_A, flank_geno):
+    """Same seed → byte-identical model through the exact R-RNG stream."""
+    from hibag_tpu.models.train import train
+    m1 = train(hla_A, flank_geno, n_classifiers=2, seed=42, verbose=False,
+               with_matching=False)
+    m2 = train(hla_A, flank_geno, n_classifiers=2, seed=42, verbose=False,
+               with_matching=False)
+    for c1, c2 in zip(m1.classifiers, m2.classifiers):
+        np.testing.assert_array_equal(c1.snp_index, c2.snp_index)
+        np.testing.assert_array_equal(c1.bootstrap_count, c2.bootstrap_count)
+        np.testing.assert_array_equal(c1.hap_bits, c2.hap_bits)
+        np.testing.assert_allclose(c1.hap_freq, c2.hap_freq, rtol=1e-6)
+
+
+def test_assoc_dispatch(hla_types):
+    import hibag_tpu as ht
+    t = ht.hlaAllele(hla_types["sample.id"], hla_types["A.1"],
+                     hla_types["A.2"], locus="A")
+    y = np.arange(t.n_samp) % 2
+    r = ht.hlaAssocTest(t, y, model="dominant")
+    assert "table" in r
+    aa = ht.convert_table(t, "/root/reference/inst/extdata/v3.22.0",
+                          code="P.code.merge")
+    rows = ht.hlaAssocTest(aa, y)
+    assert isinstance(rows, list)
