@@ -140,7 +140,9 @@ def switch_strand(target: "SNPGenoData", template, match_type: str = "Position",
         tmpl_freq = template.snp_allele_freq
 
     tgt_key = target.snp_key(match_type)
-    tgt_pos = {k: j for j, k in enumerate(tgt_key)}
+    tgt_pos = {}
+    for j, k in enumerate(tgt_key):
+        tgt_pos.setdefault(k, j)   # first occurrence wins (match() semantics)
     tfreq = target.allele_freq()
 
     rows, ids, poss, alls = [], [], [], []
@@ -148,12 +150,10 @@ def switch_strand(target: "SNPGenoData", template, match_type: str = "Position",
         j = tgt_pos.get(k)
         if j is None:
             continue
-        usable, flip = allele_switch(
+        flip, _ = allele_switch(
             tmpl_allele[i], target.snp_allele[j],
             None if tmpl_freq is None else float(tmpl_freq[i]),
             float(tfreq[j]), same_strand=same_strand)
-        if not usable:
-            continue
         g = target.genotype[j]
         if flip:
             g = np.where(g <= 2, 2 - g, GENO_MISSING).astype(np.uint8)
@@ -202,38 +202,70 @@ def allele_switch(model_allele: str, target_allele: str,
                   same_strand: bool = False):
     """Decide how to map target genotype coding onto model allele coding.
 
-    Returns (usable, flip) — flip=True means genotype := 2 - genotype.
-    Mirrors the decision logic of HIBAG_AlleleStrand
-    (reference src/HIBAG.cpp:221-342): try direct match, swapped match,
-    strand-complement match, complement+swap; ambiguous A/T & C/G SNPs fall
-    back to allele-frequency comparison when frequencies are available.
+    Returns (flip, category) with category in {"match", "amb", "mismatch",
+    "swap_strand"}; flip=True means genotype := 2 - genotype. Replicates
+    HIBAG_AlleleStrand exactly (reference src/HIBAG.cpp:221-342): direct /
+    swapped / strand-complement orientations resolve structurally;
+    strand-ambiguous (A/T, C/G) and allele-mismatched SNPs fall back to a
+    minor-allele-side comparison of the frequencies. No SNP is rejected.
     """
-    try:
-        m1, m2 = str(model_allele).split("/")[:2]
-        t1, t2 = str(target_allele).split("/")[:2]
-    except ValueError:
-        return False, False
-    m1, m2, t1, t2 = m1.upper(), m2.upper(), t1.upper(), t2.upper()
-    c1, c2 = _COMPLEMENT.get(t1, t1), _COMPLEMENT.get(t2, t2)
-    ambiguous = {m1, m2} == {t1, t2} == {c1, c2} and m1 != m2
-    if ambiguous and not same_strand:
-        # A/T or C/G SNP: orientation ambiguous — use frequencies if given
-        if model_freq is not None and target_freq is not None \
-                and np.isfinite(model_freq) and np.isfinite(target_freq):
-            # pick the orientation that best matches the model frequency
-            flip = abs(model_freq - target_freq) > abs(model_freq - (1.0 - target_freq))
-            return True, bool(flip)
-        return True, (m1 != t1)
-    if (m1, m2) == (t1, t2):
-        return True, False
-    if (m1, m2) == (t2, t1):
-        return True, True
-    if not same_strand:
-        if (m1, m2) == (c1, c2):
-            return True, False
-        if (m1, m2) == (c2, c1):
-            return True, True
-    return False, False
+    def minor(f):
+        return 0 if f <= 0.5 else 1
+
+    parts_m = str(model_allele).upper().split("/")
+    parts_t = str(target_allele).upper().split("/")
+    s1, s2 = parts_m[0], (parts_m[1] if len(parts_m) > 1 else "")
+    p1, p2 = parts_t[0], (parts_t[1] if len(parts_t) > 1 else "")
+    check_strand = not same_strand
+    atgc = all(x in _COMPLEMENT for x in (s1, s2, p1, p2))
+    comp = _COMPLEMENT
+    flip = False
+    detect = 0           # 1 = strand ambiguity, 2 = mismatching alleles
+    category = "match"
+
+    if atgc:
+        if (s1, s2) == (p1, p2):
+            if check_strand and s1 == comp[p2]:
+                detect = 1
+        elif (s1, s2) == (p2, p1):
+            if check_strand and s1 == comp[p1]:
+                detect = 1
+            else:
+                flip = True
+        else:
+            if check_strand:
+                if s1 == comp[p1] and s2 == comp[p2]:
+                    if s1 == p2:
+                        detect = 1
+                    else:
+                        category = "swap_strand"
+                elif s1 == comp[p2] and s2 == comp[p1]:
+                    flip = True
+                    category = "swap_strand"
+                else:
+                    detect = 2
+            else:
+                detect = 2
+    else:
+        if (s1, s2) == (p1, p2):
+            if s1 == s2:
+                detect = 1
+        elif (s1, s2) == (p2, p1):
+            if s1 == s2:
+                detect = 1
+            else:
+                flip = True
+        else:
+            detect = 2
+
+    if detect:
+        category = "amb" if detect == 1 else "mismatch"
+        if (model_freq is not None and target_freq is not None
+                and np.isfinite(model_freq) and np.isfinite(target_freq)):
+            flip = minor(model_freq) != minor(target_freq)
+        else:
+            flip = False
+    return bool(flip), category
 
 
 def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
@@ -256,27 +288,28 @@ def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
     mfreq = model.snp_allele_freq
     src_idx = np.full(P, -1, dtype=np.int64)
     flip_arr = np.zeros(P, dtype=np.uint8)
-    n_match = n_flip = n_reject = 0
+    n_flip = n_amb = n_mismatch = n_swap = 0
     for j, k in enumerate(tk):
         i = model_keys.get(k)
-        if i is None:
+        if i is None or src_idx[i] >= 0:   # first target occurrence wins
             continue
-        usable, flip = allele_switch(
+        flip, category = allele_switch(
             model.snp_allele[i], data.snp_allele[j],
             None if mfreq is None else float(mfreq[i]),
             float(tfreq[j]), same_strand=same_strand)
-        if not usable:
-            n_reject += 1
-            continue
         src_idx[i] = j
         flip_arr[i] = 1 if flip else 0
-        n_match += 1
         n_flip += int(flip)
+        n_amb += category == "amb"
+        n_mismatch += category == "mismatch"
+        n_swap += category == "swap_strand"
+    n_match = int((src_idx >= 0).sum())
     # bulk gather + flip through the native runtime (NumPy fallback inside)
     codes = align_codes(data.genotype.view(np.int8), src_idx, flip_arr)
     codes = codes.view(np.uint8)
     info = {"n_model_snp": P, "n_matched": n_match, "n_flipped": n_flip,
-            "n_rejected": n_reject,
+            "n_strand_ambiguity": n_amb, "n_mismatch": n_mismatch,
+            "n_swap_strand": n_swap,
             "missing_fraction": 1.0 - n_match / max(P, 1)}
     return codes, info
 

@@ -40,7 +40,6 @@ def glm_fit(X: np.ndarray, y: np.ndarray, family: str = "gaussian",
     n, p = X.shape
     w0 = np.ones(n) if weights is None else np.asarray(weights, dtype=float)
     if family == "gaussian":
-        W = np.diag(w0)
         XtWX = X.T @ (w0[:, None] * X)
         beta = np.linalg.solve(XtWX, X.T @ (w0 * y))
         resid = y - X @ beta

@@ -60,7 +60,6 @@ def allele_distance(model: AttrBagModel) -> np.ndarray:
         np.add.at(dsum, (ai[iu], ai[ju]), f[iu, ju] * d[iu, ju])
         with np.errstate(invalid="ignore", divide="ignore"):
             dm = dsum / fsum
-        dm = np.where(np.isnan(dm), np.nan, dm)
         # symmetrize from the upper triangle
         up = np.triu(np.ones((m, m), bool))
         full = np.where(up, dm, dm.T)

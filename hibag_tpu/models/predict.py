@@ -235,18 +235,10 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     match_all = np.zeros(N, dtype=np.float64)
     wsum_all = np.zeros(N, dtype=np.float64)
 
-    # pad the classifier axis to the scan-chunk width (dummy classifiers
-    # carry zero weight and contribute nothing). cchunk=1 measured fastest
-    # on v5e (batched-vmap variants add layout/gather overhead).
+    # scan-chunk width over the classifier axis: 1 measured fastest on v5e
+    # (batched-vmap variants add layout/gather overhead); C is always
+    # divisible by 1, so no classifier padding is needed
     cchunk = 1
-    Cp = ((C + cchunk - 1) // cchunk) * cchunk
-    if Cp != C:
-        pad = ((0, Cp - C),)
-        packed.hap_bits = np.pad(packed.hap_bits, pad + ((0, 0), (0, 0)))
-        packed.hap_freq = np.pad(packed.hap_freq, pad + ((0, 0),))
-        packed.hap_allele = np.pad(packed.hap_allele, pad + ((0, 0),))
-        packed.snp_index = np.pad(packed.snp_index, pad + ((0, 0),),
-                                  constant_values=-1)
     hb = jnp.asarray(packed.hap_bits)
     hf = jnp.asarray(packed.hap_freq)
     ha = jnp.asarray(packed.hap_allele)

@@ -81,6 +81,10 @@ def out_of_bag(model: AttrBagModel, hla_table, geno_data,
     geno_pos = {s: i for i, s in enumerate(geno_data.sample_id)}
     cols = np.array([geno_pos[s] for s in model.sample_id])
 
+    gidx = {s: j for j, s in enumerate(geno_data.snp_id)}
+    sel = np.array([gidx[s] for s in model.snp_id])
+    geno_sel_rows = geno_data.genotype[sel]          # [P_model, N_geno]
+
     sum_overall: dict = {}
     sum_conf = None
     sum_detail: dict = {}
@@ -95,10 +99,7 @@ def out_of_bag(model: AttrBagModel, hla_table, geno_data,
         sub = AttrBagModel(**{**model.__dict__})
         sub.classifiers = [c]
         oob_mask = c.bootstrap_count == 0
-        # align by model SNP ids
-        gidx = {s: j for j, s in enumerate(geno_data.snp_id)}
-        sel = np.array([gidx[s] for s in model.snp_id])
-        codes = geno_data.genotype[sel][:, cols[oob_mask]].T
+        codes = geno_sel_rows[:, cols[oob_mask]].T
         res = predict(sub, codes.astype(np.uint8))
         res.sample_id = np.asarray(model.sample_id)[oob_mask]
         pam = compare_alleles(hla_table, res, allele_limit=model,

@@ -450,7 +450,7 @@ def train_parallel_batch(ctx: TrainingContext, rngs: list, mtry: int,
             hap_bits=states[k].bits,
             hap_freq=states[k].freq,
             hap_allele=states[k].allele,
-            bootstrap_count=Bs[k].astype(np.int32),
+            bootstrap_count=Bs_real[k].astype(np.int32),
             oob_accuracy=float(0.5 * gmax_acc[k] / max(int(n_oob[k]), 1)),
         ))
     return out
@@ -680,25 +680,9 @@ def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
 
     # model SNP set = SNPs used by any classifier? No — the reference keeps
     # the full filtered SNP set (pruning to used SNPs is hlaPublish's job).
-    g = ctx.geno.astype(np.float64)
-    miss = g >= GENO_MISSING
-    with np.errstate(invalid="ignore"):
-        afreq = (np.where(miss, 0, g).sum(0)
-                 / np.maximum(2.0 * (~miss).sum(0), 1))
-    hla_freq = np.zeros(len(alleles))
-    for a in (ctx.a1, ctx.a2):
-        np.add.at(hla_freq, a, 1)
-    hla_freq /= hla_freq.sum()
-
-    model = AttrBagModel(
-        locus=hla_table.locus,
-        snp_id=ctx.snp_id, snp_position=ctx.snp_position,
-        snp_allele=ctx.snp_allele,
-        snp_allele_freq=afreq,
-        hla_alleles=list(alleles), hla_freq=hla_freq,
-        assembly=assembly or geno_data.assembly,
-        sample_id=ctx.sample_id,
-        classifiers=classifiers)
+    model = _partial_model(ctx, alleles, hla_table, geno_data, classifiers)
+    if assembly:
+        model.assembly = assembly
 
     if with_matching:
         from .predict import predict

@@ -175,7 +175,7 @@ def sharded_predict(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
              / jnp.maximum(wsnp.sum(), 1)).astype(jnp.float32)
         res = posterior_scores(bits, freq, allele, g, A)
         Q = unordered_from_S(res["S"])
-        contrib = Q * (w / res["total"])[:, None, None]
+        contrib = Q * (w / jnp.maximum(res["total"], 1e-30))[:, None, None]
         return contrib, w
 
     contribs, ws = jax.vmap(one_classifier)(hap_bits, hap_freq, hap_allele,
