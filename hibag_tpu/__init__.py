@@ -21,7 +21,7 @@ from .data.geno import (SNPGenoData, align_to_model, combine_geno,
                         switch_strand)
 from .data.misc import (check_allele, check_snps, sample_alleles,
                         summary_geno, summary_model, summary_table)
-from .eval.assoc import aa_assoc_test, assoc_test
+from .eval.assoc import aa_assoc_test, assoc_test, format_assoc
 from .eval.compare import compare_alleles
 from .eval.report import report
 from .io.bed import read_bed, write_ped

@@ -235,6 +235,54 @@ def _isnan(y):
         return np.zeros(len(y), dtype=bool)
 
 
+def format_assoc(result, show_all: bool = True) -> str:
+    """Render an assoc_test / aa_assoc_test result as the reference's
+    significance-starred table (.assoc_show, R/Association.R:40-73):
+    p-values < 0.001 print as '<0.001*', p in [0.001, 0.05] get a '*',
+    non-finite print as '.'; significant rows are listed first."""
+    rows = result["table"] if isinstance(result, dict) else list(result)
+    if not rows:
+        return "(no rows)"
+    cols = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    pcols = [c for c in cols if c.endswith((".p", ".pval"))]
+
+    def fmt(r, c):
+        v = r.get(c)
+        if v is None:
+            return "."
+        if c in pcols:
+            if not (isinstance(v, (int, float)) and np.isfinite(v)):
+                return "."
+            if v < 0.001:
+                return "<0.001*"
+            s = f"{v:.3f}"
+            return s + "*" if v <= 0.05 else s
+        if isinstance(v, float):
+            return "." if not np.isfinite(v) else f"{v:.4g}"
+        return str(v)
+
+    def significant(r):
+        return any(isinstance(r.get(c), (int, float)) and np.isfinite(r[c])
+                   and r[c] <= 0.05 for c in pcols)
+
+    sig = [r for r in rows if significant(r)]
+    rest = [r for r in rows if not significant(r)]
+    ordered = sig + ([{"__sep__": True}] if sig and rest and show_all else []) \
+        + (rest if show_all else [])
+    table = [[fmt(r, c) if "__sep__" not in r else "-----" for c in cols]
+             for r in ordered]
+    widths = [max(len(c), *(len(t[j]) for t in table)) if table else len(c)
+              for j, c in enumerate(cols)]
+    out = ["  ".join(c.rjust(w) for c, w in zip(cols, widths))]
+    for t in table:
+        out.append("  ".join(x.rjust(w) for x, w in zip(t, widths)))
+    return "\n".join(out)
+
+
 def aa_assoc_test(aa_table, y, covariates: Optional[dict] = None,
                   prob_threshold: float = float("nan"),
                   use_prob: bool = False) -> list:

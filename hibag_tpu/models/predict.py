@@ -234,6 +234,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     ens_all = np.zeros((N, A, A), dtype=np.float64)
     match_all = np.zeros(N, dtype=np.float64)
     wsum_all = np.zeros(N, dtype=np.float64)
+    from ..utils.progress import Progress
+    prog = Progress(N, info="Predicting", enabled=verbose)
 
     # scan-chunk width over the classifier axis: 1 measured fastest on v5e
     # (batched-vmap variants add layout/gather overhead); C is always
@@ -270,6 +272,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         ens_all[start:start + n_eff] = ens[:n_eff]
         match_all[start:start + n_eff] = matching[:n_eff]
         wsum_all[start:start + n_eff] = wsum[:n_eff]
+        prog.forward(n_eff)
 
     # --- host-side finalization ------------------------------------------
     iu, ju = np.triu_indices(A)

@@ -234,6 +234,30 @@ class AASeqTable:
                 **{c: v[keep] for c, v in counts.items()}}
 
 
+def format_residue_table(table: dict, head: int = 0) -> str:
+    """Render a residue_table as the reference's per-position summary
+    (summary.hlaAASeqClass, R/SeqFormat.R:404-456): counts per residue per
+    position, zeros printed as '.'."""
+    keys = [k for k in table if k not in ("pos", "num")]
+    cols = ["Pos", "Num"] + keys
+    rows = []
+    n = len(table["pos"])
+    limit = n if head < 1 else min(head, n)
+    for i in range(limit):
+        row = [str(int(table["pos"][i])), str(int(table["num"][i]))]
+        for k in keys:
+            v = int(table[k][i])
+            row.append("." if v == 0 else str(v))
+        rows.append(row)
+    widths = [max(len(c), *(len(r[j]) for r in rows)) if rows else len(c)
+              for j, c in enumerate(cols)]
+    out = [" ".join(c.rjust(w) for c, w in zip(cols, widths))]
+    out += [" ".join(x.rjust(w) for x, w in zip(r, widths)) for r in rows]
+    if limit < n:
+        out.append("......")
+    return "\n".join(out)
+
+
 def convert_table(hla_table, data_dir: str, code: str = "exact",
                   region: str = "auto",
                   replace: Optional[dict] = None) -> AASeqTable:

@@ -89,3 +89,13 @@ def test_aa_assoc(hla_types):
     assert len(rows) > 10
     ps = [r["chisq.p"] for r in rows if "chisq.p" in r]
     assert len(ps) > 5 and all(0 <= p <= 1 for p in ps)
+
+
+def test_format_assoc(cohort):
+    from hibag_tpu.eval.assoc import format_assoc
+    t, y, _ = cohort
+    res = assoc_test(t, y, model="dominant")
+    s = format_assoc(res)
+    assert "chisq.p" in s.splitlines()[0]
+    assert "*" in s  # the planted association is significant
+    assert "-----" in s or len(s.splitlines()) == len(res["table"]) + 1
