@@ -63,3 +63,22 @@ def test_out_of_bag(model, hapmap_geno, hla_types):
     res = out_of_bag(sub, truth, hapmap_geno)
     assert 0.5 <= res["overall"]["acc.haplo"] <= 1.0
     assert res["confusion"].shape[1] == model.n_alleles
+
+
+def test_out_of_bag_bundled_fixture(hapmap_geno, hla_types):
+    """The bundled OutOfBag.RData model (with bootstrap counts) evaluates
+    through the OOB pipeline."""
+    from hibag_tpu.data.allele import HLATypeTable
+    from hibag_tpu.io.rdata import read_rdata, r_to_py
+    d = r_to_py(read_rdata("/root/reference/inst/extdata/OutOfBag.RData")["mobj"])
+    m = AttrBagModel.from_hibag_obj(d)
+    assert m.n_classifiers >= 10
+    assert all(c.bootstrap_count is not None for c in m.classifiers)
+    locus = m.locus
+    truth = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types[f"{locus}.1"],
+        hla_types[f"{locus}.2"], locus=locus)
+    sub = AttrBagModel(**{**m.__dict__})
+    sub.classifiers = m.classifiers[:5]
+    res = out_of_bag(sub, truth, hapmap_geno)
+    assert 0.3 <= res["overall"]["acc.haplo"] <= 1.0
