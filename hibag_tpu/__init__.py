@@ -23,6 +23,8 @@ from .data.misc import (check_allele, check_snps, sample_alleles,
                         summary_geno, summary_model, summary_table)
 from .eval.assoc import aa_assoc_test, assoc_test, format_assoc
 from .eval.compare import compare_alleles
+from .eval.plots import (plot_call_rate, plot_call_threshold,
+                         plot_ld_heatmap, plot_matching, plot_model)
 from .eval.report import report
 from .io.bed import read_bed, write_ped
 from .io.rdata import read_rdata, read_rds, r_to_py
@@ -33,7 +35,8 @@ from .models.model import AttrBagModel, Classifier, PackedEnsemble
 from .models.predict import PredictionResult, predict
 from .models.publish import model_files, out_of_bag, pred_merge, publish
 from .models.train import train, train_distributed, train_parallel
-from .seq.aa import AASeqTable, conv_sequence, convert_table
+from .seq.aa import (AASeqTable, conv_sequence, convert_table,
+                     format_residue_table)
 from .utils.rng import RRng
 
 # ---------------------------------------------------------------------------
@@ -71,6 +74,19 @@ hlaGenoLD = geno_ld
 hlaLDMatrix = ld_matrix
 hlaConvSequence = convert_table
 hlaReport = report
+
+
+def hlaReportPlot(pred=None, truth=None, model=None, fig="matching",
+                  **kwargs):
+    """Dispatch to the matplotlib diagnostic plots (hlaReportPlot,
+    R/DataUtilities.R:2429)."""
+    if fig == "matching":
+        return plot_matching(pred=pred, model=model, **kwargs)
+    if fig == "call.rate":
+        return plot_call_rate(pred, truth, **kwargs)
+    if fig == "call.threshold":
+        return plot_call_threshold(pred, truth, **kwargs)
+    raise ValueError(f"unknown fig {fig!r}")
 hlaCheckAllele = check_allele
 hlaCheckSNPs = check_snps
 hlaSampleAllele = sample_alleles
