@@ -200,14 +200,23 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             match_type: str = "Position", same_strand: bool = False,
             block: int = 128, with_dosage: bool = True,
             with_prob: bool = False, hap_bucket: int = 64,
-            engine: str = "auto", verbose: bool = False) -> PredictionResult:
+            engine: str = "auto", type: Optional[str] = None,
+            verbose: bool = False) -> PredictionResult:
     """Impute HLA types for `data` (SNPGenoData or pre-aligned code matrix).
 
     Equivalent of hlaPredict (reference R/HIBAG.R:470-818).
 
+    type: reference-style output selector ("response+dosage" [default],
+    "response", "prob", "response+prob") overriding with_dosage/with_prob.
     engine: "jnp" (XLA matmul chain), "pallas" (fused VMEM-resident kernel),
     or "auto" (pallas on TPU backends, jnp elsewhere).
     """
+    if type is not None:
+        if type not in ("response+dosage", "response", "prob",
+                        "response+prob"):
+            raise ValueError(f"unknown type {type!r}")
+        with_dosage = type == "response+dosage"
+        with_prob = type in ("prob", "response+prob")
     if engine == "auto":
         engine = "jnp" if jax.default_backend() == "cpu" else "pallas"
     from ..data.geno import SNPGenoData, align_to_model
