@@ -11,7 +11,7 @@ selection (hlaFlankingSNP, R/DataUtilities.R:1732).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -8,11 +8,9 @@ summary/print S3 methods.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
-from .allele import allele_digit, unique_alleles
+from .allele import allele_digit
 
 _COMP = {"A": "T", "T": "A", "C": "G", "G": "C"}
 

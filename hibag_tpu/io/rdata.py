@@ -17,7 +17,7 @@ import gzip
 import lzma
 import struct
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

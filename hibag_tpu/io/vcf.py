@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import gzip
 import time
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import (EM_INIT_VAL_FRAC, EM_MAX_ITERATIONS, GENO_MISSING,
+from ..constants import (EM_INIT_VAL_FRAC, EM_MAX_ITERATIONS,
                          LOG_MIN_RARE_FREQ, MIN_RARE_FREQ)
 from ..ops.scoring import pair_distance
 

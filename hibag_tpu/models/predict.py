@@ -29,7 +29,7 @@ import numpy as np
 
 from ..constants import GENO_MISSING, LOG_MIN_RARE_FREQ
 from ..ops.scoring import posterior_scores, unordered_from_S
-from .model import AttrBagModel, PackedEnsemble
+from .model import AttrBagModel
 
 
 @functools.partial(jax.jit,

@@ -16,7 +16,7 @@ consumption order (bootstrap before selection; partial Fisher-Yates draws).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

@@ -34,7 +34,6 @@ from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
                          MIN_RARE_FREQ, PRUNE_RELTOL_LOGLIK,
                          STOP_RELTOL_LOGLIK_ADDSNP)
 from .em import em_all_candidates, erase_rare, evaluate_candidates, match_pairs
-from ..ops.scoring import pair_distance
 
 BIG = 1e9
 
@@ -52,65 +51,6 @@ class GrowState(NamedTuple):
     done: jax.Array       # [K] bool
     key: jax.Array        # [K, 2] u32
     steps: jax.Array      # [] i32
-
-
-def _evaluate_seq(bits, allele, new_col, fA, fB, g_cand, geno_sel,
-                  a1, a2, is_oob, B, n_alleles):
-    """Per-candidate evaluation with a sequential candidate map (bounded
-    memory inside the fused loop). Same math as em.evaluate_candidates."""
-    from ..constants import LOG_MIN_RARE_FREQ
-    q = MIN_RARE_FREQ
-    H = bits.shape[0]
-    Neval = geno_sel.shape[0]
-    A = n_alleles
-
-    D = pair_distance(bits, geno_sel)
-    ok_base = (fA > 0) | (fB > 0)
-    base_ok = jnp.any(ok_base, axis=0)
-    pair_ok = base_ok[:, None] & base_ok[None, :]
-    Dm = jnp.where(pair_ok[None], D, BIG)
-    dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
-    Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
-    Pen = jnp.where(pair_ok[None], Pen, 0.0)
-    onehot = jax.nn.one_hot(allele, A, dtype=Pen.dtype)
-    s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]])
-
-    def one_candidate(args):
-        fa, fb, g = args
-        Mf = jnp.stack([fa, fb], 0)[:, :, None] * onehot[None]   # [2, H, A]
-        T = jnp.einsum("nij,bjB->nbiB", Pen, Mf,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        Sb = jnp.einsum("biA,neiB->nbeAB", Mf, T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        delta = jnp.select(
-            [g[:, None, None] == 0, g[:, None, None] == 1,
-             g[:, None, None] == 2],
-            [s_grid[None], jnp.abs(s_grid - 1.0)[None],
-             (2.0 - s_grid)[None]],
-            jnp.zeros((1, 2, 2)))
-        pd = jnp.exp(jnp.log(q) * delta)
-        S = jnp.einsum("nbe,nbeAB->nAB", pd, Sb)
-        total = S.sum((1, 2))
-        flat = S.reshape(Neval, A * A)
-        b = jnp.argmax(flat, axis=1)
-        g1, g2 = b // A, b % A
-        g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)
-        p1, p2, t1, t2 = g1, g2, a1, a2
-        m1 = (p1 == t1) | (p1 == t2)
-        t1u = jnp.where(m1 & (p1 == t1), -1, t1)
-        t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
-        m2 = (p2 == t1u) | (p2 == t2u)
-        cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
-        acc = jnp.where(is_oob & (total > 0), cnt, 0).sum()
-        tq = S[jnp.arange(Neval), a1, a2]
-        tq = tq * jnp.where(a1 == a2, 1.0, 2.0)
-        post = tq / jnp.maximum(total, 1e-37)
-        ll = -2.0 * (B * jnp.log(jnp.maximum(post, 1e-37))).sum()
-        return acc, ll
-
-    return jax.lax.map(one_candidate, (fA, fB, g_cand))
 
 
 def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):

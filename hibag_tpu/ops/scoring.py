@@ -45,7 +45,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..constants import GENO_MISSING, LOG_MIN_RARE_FREQ
+from ..constants import LOG_MIN_RARE_FREQ
 
 BIG = 1e9  # sentinel distance for invalid haplotype slots
 
