@@ -93,6 +93,9 @@ def assoc_test(hla_table, y, covariates: Optional[dict] = None,
     a1 = np.asarray(hla_table.allele1, dtype=object)
     a2 = np.asarray(hla_table.allele2, dtype=object)
     y = np.asarray(y)
+    if len(y) != len(a1):
+        raise ValueError(f"phenotype length {len(y)} != number of typed "
+                         f"samples {len(a1)}")
     prob = getattr(hla_table, "prob", None)
     if np.isfinite(prob_threshold):
         if prob is None:
