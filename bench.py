@@ -12,9 +12,23 @@ directly.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compilation cache: retries/repeat runs skip the remote-compile
+# cost when the backend supports executable serialization
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+#: soft deadline: skip optional metrics if the mandatory ones took too long
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 
 # round-1 self-baseline: the first working implementation's throughput on
 # this chip (host-loop trainer, measured exclusively: 1.76 classifiers/s;
@@ -24,6 +38,7 @@ SELF_BASELINE_PREDICT = 834.0
 
 
 def main():
+    T_START = time.time()
     import hibag_tpu
     from hibag_tpu.data.allele import HLATypeTable
     from hibag_tpu.io.rdata import read_rdata, r_to_py
@@ -59,22 +74,25 @@ def main():
     cls_per_s = n_cls / train_s
 
     # ---- prediction throughput (100-classifier published model) ---------
-    ml = r_to_py(read_rdata(
-        "/root/reference/inst/extdata/ModelList.RData")["modellist"])
-    pub = AttrBagModel.from_hibag_obj(ml["A"], locus="A")
-    # tile the 60-sample panel to a 3840-sample batch
-    reps = 64
-    big = hibag_tpu.SNPGenoData(
-        genotype=np.tile(geno.genotype, (1, reps)),
-        sample_id=np.array([f"s{i}" for i in range(geno.n_samp * reps)],
-                           dtype=object),
-        snp_id=geno.snp_id, snp_position=geno.snp_position,
-        snp_allele=geno.snp_allele, assembly=geno.assembly)
-    predict(pub, big.subset(samp_mask=np.arange(256)), block=256)  # warmup
-    t0 = time.time()
-    res = predict(pub, big, block=256)
-    pred_s = time.time() - t0
-    samp_per_s = big.n_samp / pred_s
+    # optional: skipped when the training portion ate the time budget
+    samp_per_s = float("nan")
+    if time.time() - T_START < DEADLINE_S:
+        ml = r_to_py(read_rdata(
+            "/root/reference/inst/extdata/ModelList.RData")["modellist"])
+        pub = AttrBagModel.from_hibag_obj(ml["A"], locus="A")
+        # tile the 60-sample panel to a 3840-sample batch
+        reps = 64
+        big = hibag_tpu.SNPGenoData(
+            genotype=np.tile(geno.genotype, (1, reps)),
+            sample_id=np.array([f"s{i}" for i in range(geno.n_samp * reps)],
+                               dtype=object),
+            snp_id=geno.snp_id, snp_position=geno.snp_position,
+            snp_allele=geno.snp_allele, assembly=geno.assembly)
+        predict(pub, big.subset(samp_mask=np.arange(256)), block=256)
+        t0 = time.time()
+        res = predict(pub, big, block=256)
+        pred_s = time.time() - t0
+        samp_per_s = big.n_samp / pred_s
 
     mean_oob = float(np.mean([c.oob_accuracy for c in model.classifiers]))
     print(json.dumps({
@@ -84,8 +102,10 @@ def main():
         "vs_baseline": round(cls_per_s / SELF_BASELINE_TRAIN, 3),
         "train_seconds_25cls": round(train_s, 2),
         "mean_oob_accuracy": round(mean_oob, 4),
-        "predict_samples_per_s": round(samp_per_s, 1),
-        "predict_vs_baseline": round(samp_per_s / SELF_BASELINE_PREDICT, 3),
+        "predict_samples_per_s": (round(samp_per_s, 1)
+                                  if np.isfinite(samp_per_s) else None),
+        "predict_vs_baseline": (round(samp_per_s / SELF_BASELINE_PREDICT, 3)
+                                if np.isfinite(samp_per_s) else None),
         "n_snp": int(fg.n_snp),
         "n_samp": int(fg.n_samp),
     }))
