@@ -12,6 +12,16 @@ than parsing CoreArray natively:
 
 ``read_gds`` raises ImportError with this guidance so pipelines fail
 loudly instead of silently skipping GDS inputs.
+
+Format notes from a partial reverse-engineering of the bundled
+HapMap_CEU_Chr6.gds (for a future native reader): 12-byte magic
+"COREARRAYx0A" + u16 version; block segments headed by
+[id:u32][size:u48 with bit47 head-flag]; the root folder block lists
+entries as [entry_len:u48][...type info...][data_block_id:u32]
+[class tag][len-prefixed name] with data block ids 2,4,6,... for
+sample.id/snp.id/snp.position/snp.chromosome/snp.allele/genotype; data
+streams are "ZIP" (zlib) compressed with length fields preceding the
+payload.
 """
 
 from __future__ import annotations

@@ -121,7 +121,7 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
                    preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)      # [2C, c, H]
+                   precision=jax.lax.Precision.HIGH)         # [2C, c, H]
     t0, t1 = t[:C], t[C:]                                   # [C, c, H]
     q00 = fA[:, None, :] * t0                               # [C, c, H]
     q01 = fA[:, None, :] * t1
@@ -146,9 +146,9 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     psum_safe = jnp.maximum(psum, 1e-37)
     wgt = (B_c[None, :] / psum_safe)                        # [C, c]
     dfA = jnp.einsum("cs,csh->ch", wgt, num0,
-                     precision=jax.lax.Precision.HIGHEST) / total_n
+                     precision=jax.lax.Precision.HIGH) / total_n
     dfB = jnp.einsum("cs,csh->ch", wgt, num1,
-                     precision=jax.lax.Precision.HIGHEST) / total_n
+                     precision=jax.lax.Precision.HIGH) / total_n
     dll = (B_c[None, :] * jnp.log(psum_safe)).sum(-1)       # [C]
     return dfA, dfB, dll
 
@@ -301,10 +301,10 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         Pen = jnp.where(pair_ok[None], Pen, 0.0)         # [n, H, H]
         T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [C,n,2,H,A]
+                       precision=jax.lax.Precision.HIGH)     # [C,n,2,H,A]
         Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=jax.lax.Precision.HIGH)
         # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d):
         # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
         g = g_cand_c                                     # [C, n]
