@@ -29,6 +29,7 @@ from .eval.report import report
 from .io.bed import read_bed, write_ped
 from .io.rdata import read_rdata, read_rds, r_to_py
 from .io.vcf import write_vcf
+from .io.gds import read_gds
 from .io.vcf_in import read_vcf
 from .models.introspect import allele_distance, geno_ld, ld_matrix, summarize
 from .models.model import AttrBagModel, Classifier, PackedEnsemble
@@ -92,9 +93,7 @@ hlaCheckSNPs = check_snps
 hlaSampleAllele = sample_alleles
 
 
-def hlaGDS2Geno(*args, **kwargs):
-    from .io.gds import read_gds
-    return read_gds(*args, **kwargs)
+hlaGDS2Geno = read_gds
 
 
 def hlaMakeSNPGeno(genotype, sample_id, snp_id, snp_position, A_allele,
