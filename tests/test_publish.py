@@ -82,3 +82,36 @@ def test_out_of_bag_bundled_fixture(hapmap_geno, hla_types):
     sub.classifiers = m.classifiers[:5]
     res = out_of_bag(sub, truth, hapmap_geno)
     assert 0.3 <= res["overall"]["acc.haplo"] <= 1.0
+
+
+def test_pred_merge_different_allele_sets(model, hapmap_geno):
+    """Merging predictions from models with different allele universes maps
+    probabilities into the union space (hlaPredMerge's core case)."""
+    # model B: strip the last two alleles' haplotypes from each classifier
+    # (as if trained on a cohort lacking them) — a smaller allele universe
+    from hibag_tpu.models.model import Classifier
+    keep_alleles = model.hla_alleles[:-2]
+    A2 = len(keep_alleles)
+    small_cls = []
+    for c in model.classifiers[:10]:
+        keep = c.hap_allele < A2
+        f = c.hap_freq[keep]
+        small_cls.append(Classifier(
+            snp_index=c.snp_index, hap_bits=c.hap_bits[keep],
+            hap_freq=f / f.sum(), hap_allele=c.hap_allele[keep],
+            oob_accuracy=c.oob_accuracy))
+    small = AttrBagModel(**{**model.__dict__})
+    small.classifiers = small_cls
+    small.hla_alleles = list(keep_alleles)
+    small.hla_freq = None
+
+    r_full = predict(model, hapmap_geno, with_prob=True)
+    r_small = predict(small, hapmap_geno, with_prob=True)
+    assert len(r_small.hla_alleles) < len(r_full.hla_alleles)
+
+    m = pred_merge([r_full, r_small], weight=[0.7, 0.3], ret_postprob=True)
+    assert len(m.hla_alleles) == len(r_full.hla_alleles)  # union = full set
+    np.testing.assert_allclose(m.postprob.sum(0), 1.0, atol=1e-6)
+    # dominant-weight predictions mostly follow the full model
+    same = np.mean([a == b for a, b in zip(m.allele1, r_full.allele1)])
+    assert same > 0.8
