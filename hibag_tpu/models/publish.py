@@ -156,11 +156,13 @@ def pred_merge(results: Sequence[PredictionResult], weight=None,
         weight = weight / weight.sum()
 
     def rename(a: str) -> str:
+        import re
         if equivalence and a in equivalence:
             a = equivalence[a]
-        if max_resolution not in ("", "full") or rm_suffix:
-            a = allele_digit(a, max_resolution or "full", rm_suffix=rm_suffix) \
-                if max_resolution not in ("", "full") else a
+        if max_resolution not in ("", "full"):
+            a = allele_digit(a, max_resolution, rm_suffix=rm_suffix)
+        elif rm_suffix:
+            a = re.sub(r"\D+$", "", a)
         return a
 
     union: list[str] = []

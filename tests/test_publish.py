@@ -115,3 +115,10 @@ def test_pred_merge_different_allele_sets(model, hapmap_geno):
     # dominant-weight predictions mostly follow the full model
     same = np.mean([a == b for a, b in zip(m.allele1, r_full.allele1)])
     assert same > 0.8
+
+
+def test_pred_merge_resolution_truncation(model, hapmap_geno):
+    r = predict(model, hapmap_geno, with_prob=True)
+    m = pred_merge([r], max_resolution="2-digit", ret_postprob=True)
+    assert all(":" not in a for a in m.hla_alleles)
+    np.testing.assert_allclose(m.postprob.sum(0), 1.0, atol=1e-6)
