@@ -114,3 +114,48 @@ def test_assoc_dispatch(hla_types):
                           code="P.code.merge")
     rows = ht.hlaAssocTest(aa, y)
     assert isinstance(rows, list)
+
+
+def test_sampling_without_replace_bookkeeping():
+    """CSamplingWithoutReplace semantics: tail selection, Remove/
+    RemoveSelection/RemoveFlag (src/LibHLA.cpp:930-993)."""
+    from hibag_tpu.models.train import SamplingWithoutReplace
+    from hibag_tpu.utils.rng import RRng
+
+    s = SamplingWithoutReplace(10)
+    rng = RRng(1)
+    s.random_select(4, rng)
+    sel = s.selection()
+    assert len(sel) == 4 and len(set(sel)) == 4
+    assert s.total() == 10
+    # selection occupies the tail of the pool
+    assert s.idx[-4:] == sel
+
+    # Remove(i) deletes the i-th selected element from the pool
+    victim = sel[1]
+    s.remove(1)
+    assert s.total() == 9 and victim not in s.idx
+
+    # RemoveSelection drops the whole current tail
+    s2 = SamplingWithoutReplace(10)
+    s2.random_select(3, RRng(2))
+    tail = list(s2.selection())
+    s2.remove_selection()
+    assert s2.total() == 7
+    assert not (set(tail) & set(s2.idx))
+
+    # RemoveFlag drops only the -1-marked selected entries
+    s3 = SamplingWithoutReplace(10)
+    s3.random_select(5, RRng(3))
+    s3.set_selected(0, -1)
+    s3.set_selected(3, -1)
+    s3.remove_flagged()
+    assert s3.total() == 8 and -1 not in s3.idx
+
+    # when m_try exceeds the pool, everything is selected with NO rng draws
+    s4 = SamplingWithoutReplace(3)
+    r4 = RRng(5)
+    state_before = r4.mt.copy()
+    s4.random_select(5, r4)
+    assert sorted(s4.selection()) == [0, 1, 2]
+    assert np.array_equal(r4.mt, state_before)  # stream untouched
