@@ -318,7 +318,11 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         S = jnp.einsum("cnbe,cnbeAB->cnAB", pd, Sb)      # [C, n, A, A]
 
         total = S.sum((2, 3))
-        flat = S.reshape(C, n, A * A)
+        # _BestGuess_def weights heterozygous pairs 2*f1*f2 (src/LibHLA.cpp
+        # ff = 2*Freq when H1 != H2): double off-diagonal before the argmax
+        # so hom-vs-het discrimination matches the reference posterior.
+        flat = (S * (2.0 - jnp.eye(A, dtype=S.dtype))[None, None]
+                ).reshape(C, n, A * A)
         b = jnp.argmax(flat, axis=2)
         g1, g2 = b // A, b % A
         g1, g2 = jnp.minimum(g1, g2), jnp.maximum(g1, g2)

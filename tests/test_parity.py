@@ -77,11 +77,40 @@ def test_f32_scoring_matches_f64_reference():
     # absolute scale agrees where representable
     big = ref_S > 1e-30
     np.testing.assert_allclose(S_abs[big], ref_S[big], rtol=5e-4)
-    # identical best-guess calls over the unordered-pair (triangular) grid,
-    # which is what prediction argmaxes (mirror entries are exact ties)
+    # identical best-guess calls over the unordered-pair (triangular) grid
+    # with the reference's heterozygote doubling (ff = 2*freq when H1 != H2,
+    # src/LibHLA.cpp _BestGuess_def) — this is the convention prediction and
+    # the training OOB argmax both use
     iu, ju = np.triu_indices(A)
-    np.testing.assert_array_equal(S[:, iu, ju].argmax(1),
-                                  ref_S[:, iu, ju].argmax(1))
+    dbl = (2.0 - np.eye(A))[iu, ju]
+    np.testing.assert_array_equal((S[:, iu, ju] * dbl).argmax(1),
+                                  (ref_S[:, iu, ju] * dbl).argmax(1))
+
+
+def test_best_guess_heterozygote_doubling():
+    """Hom-vs-het discrimination: two alleles with freqs {0.6, 0.4} at equal
+    distances give hom (0,0) score 0.36 > undoubled het (0,1) 0.24, but the
+    reference's 2*f1*f2 heterozygote weighting makes het win at 0.48.
+    An undoubled argmax wrongly picks the hom pair (scores 1 instead of 2).
+    Exercises the training-time OOB best-guess in evaluate_candidates."""
+    import jax.numpy as jnp
+    from hibag_tpu.models.em import evaluate_candidates
+
+    H, L, A = 2, 8, 2
+    bits = jnp.zeros((H, L), jnp.float32)      # all-equal distances
+    allele = jnp.arange(2, dtype=jnp.int32)
+    freq = np.array([0.6, 0.4])
+    # one candidate whose erase output is just the base freqs (bit-0 side)
+    fA = jnp.asarray(freq[None, :], jnp.float32)
+    fB = jnp.zeros((1, H), jnp.float32)
+    geno_sel = jnp.full((1, L), 3, jnp.int8)   # all missing: no distance
+    g_cand = jnp.full((1, 1), 3, jnp.int8)     # candidate SNP missing too
+    # true type is the het pair (0,1): correct best-guess scores 2
+    acc, _ = evaluate_candidates(
+        bits, allele, jnp.int32(0), fA, fB, g_cand, geno_sel,
+        jnp.array([0], jnp.int32), jnp.array([1], jnp.int32),
+        jnp.array([True]), jnp.zeros(1, jnp.float32), A)
+    assert int(acc[0]) == 2
 
 
 def test_model_schema_roundtrip_exact(model_list):
