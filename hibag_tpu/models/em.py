@@ -153,29 +153,37 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     return dfA, dfB, dll
 
 
-def _em_estep(fA, fB, mask, B, g_new, total_n):
-    """One E+M step over all samples, scanning over sample chunks so the
-    dense float expansion of the bool pair mask stays [chunk, H, H]."""
+def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
+              total_n):
+    """One E+M step over all samples, scanning over sample chunks.
+
+    The matched-pair mask is REMATERIALIZED per chunk from the packed
+    haplotype bits (one [chunk·H, L]x[L, H]-shaped distance matmul on the
+    MXU) instead of being carried as a persistent bool[S, H, H] — persistent
+    EM state is O(C·H), so cohorts of 10^5 samples fit in HBM (the reference
+    streams per-sample pair lists for the same reason,
+    src/LibHLA.cpp:1104-1255)."""
     C, H = fA.shape
-    S = mask.shape[0]
+    S = geno_sel.shape[0]
     # mask chunk f32 [c,H,H] and t [2C,c,H] dominate
     c = _chunk_for_budget(S, max(H * H, 2 * C * H))
     if c == S:
-        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
-        return dfA, dfB, dll
+        mask = _match_chunk(bits, valid, allele, geno_sel, a1, a2)
+        return _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
     G = S // c
 
     def body(carry, xs):
         accA, accB, accL = carry
-        mask_c, B_c, gT_c = xs
+        gs_c, a1_c, a2_c, B_c, gT_c = xs
+        mask_c = _match_chunk(bits, valid, allele, gs_c, a1_c, a2_c)
         dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c, B_c, gT_c.T, total_n)
         return (accA + dfA, accB + dfB, accL + dll), None
 
     (accA, accB, accL), _ = jax.lax.scan(
         body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
                jnp.zeros(C, jnp.float32)),
-        (mask.reshape(G, c, H, H), B.reshape(G, c),
-         g_new.T.reshape(G, c, C)))
+        (geno_sel.reshape(G, c, -1), a1.reshape(G, c), a2.reshape(G, c),
+         B.reshape(G, c), g_new.T.reshape(G, c, C)))
     return accA, accB, accL
 
 
@@ -185,14 +193,20 @@ F32_RELTOL = float(np.sqrt(np.finfo(np.float32).eps))
 
 
 @functools.partial(jax.jit, static_argnames=("reltol",))
-def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
-                      reltol=F32_RELTOL):
+def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
+                      g_new, afreq, total_n, reltol=F32_RELTOL):
     """Run the reference's EM to convergence for every candidate SNP.
 
-    freq0 [H]: current haplotype freqs; valid [H] bool; mask [S,H,H] bool;
+    freq0 [H]: current haplotype freqs; valid [H] bool; bits [H, L] haplotype
+    bit matrix over selected SNPs; allele [H]; geno_sel [S, L] genotype codes
+    over the selected SNPs; a1/a2 [S] known HLA alleles (a1 <= a2);
     B [S] bootstrap counts (0 for padded samples); g_new [C, S] candidate-SNP
     genotype codes per in-bag sample; afreq [C] candidate allele freq (from
     PrepareNewSNP); total_n scalar (total sample count).
+
+    The min-Hamming matched-pair set (PrepareHaplotypes) is recomputed per
+    sample chunk inside each E-step instead of being materialized as a
+    persistent bool[S, H, H] — see _em_estep.
 
     Convergence mirrors src/LibHLA.cpp:1185-1255: tolerance from the first
     iteration's log-likelihood, |dLL| <= tol, max EM_MAX_ITERATIONS.
@@ -206,7 +220,11 @@ def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
     fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
 
-    fA1, fB1, ll1 = _em_estep(fA0, fB0, mask, B, g_new, total_n)
+    def estep(fA, fB):
+        return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,
+                         B, g_new, total_n)
+
+    fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)
 
     def cond(state):
@@ -215,7 +233,7 @@ def em_all_candidates(freq0, valid, mask, B, g_new, afreq, total_n,
 
     def body(state):
         fA, fB, ll_old, done, it = state
-        fA_new, fB_new, ll = _em_estep(fA, fB, mask, B, g_new, total_n)
+        fA_new, fB_new, ll = estep(fA, fB)
         newly_done = jnp.abs(ll - ll_old) <= tol
         keep = done[:, None]
         fA = jnp.where(keep, fA, fA_new)

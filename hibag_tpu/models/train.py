@@ -28,7 +28,7 @@ from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
                          STOP_RELTOL_LOGLIK_ADDSNP)
 from ..data.allele import unique_alleles
 from ..utils.rng import RRng
-from .em import em_all_candidates, erase_rare, evaluate_candidates, match_pairs
+from .em import em_all_candidates, erase_rare, evaluate_candidates
 from .model import AttrBagModel, Classifier
 
 
@@ -171,10 +171,6 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         valid_j = jnp.asarray(freq_p > 0)
         allele_j = jnp.asarray(allele_p)
 
-        # matched pair mask over current haplotypes (PrepareHaplotypes)
-        mask = match_pairs(bits_j, valid_j, allele_j, geno_sel_j,
-                           ctx.a1_j, ctx.a2_j)
-
         sampling.random_select(mtry, rng)
         cands = sampling.selection()
         Cm = len(cands)
@@ -193,9 +189,11 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         cand_ok[Cm:] = False
         afreq = np.where(cand_ok, allele_cnt / np.maximum(valid_cnt, 1), 0.5)
 
-        # EM for all candidates at once, then rare-haplotype pruning
+        # EM for all candidates at once (pair matching fused into the
+        # E-step chunk scan), then rare-haplotype pruning
         fA, fB, _, _ = em_all_candidates(
-            freq_j, valid_j, mask, Bj, jnp.asarray(g_cand),
+            freq_j, valid_j, bits_j, allele_j, geno_sel_j, ctx.a1_j,
+            ctx.a2_j, Bj, jnp.asarray(g_cand),
             jnp.asarray(afreq.astype(np.float32)), float(N))
         fA, fB = erase_rare(fA, fB, rare_prob)
 
@@ -497,7 +495,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
             from .train_fused import train_fused_batch
             cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
                                     hcap=hcap, first_id=k0,
-                                    max_steps=max_steps)
+                                    max_steps=max_steps, mesh=mesh)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]

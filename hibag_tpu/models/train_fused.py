@@ -33,7 +33,7 @@ import numpy as np
 from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
                          MIN_RARE_FREQ, PRUNE_RELTOL_LOGLIK,
                          STOP_RELTOL_LOGLIK_ADDSNP)
-from .em import em_all_candidates, erase_rare, evaluate_candidates, match_pairs
+from .em import em_all_candidates, erase_rare, evaluate_candidates
 
 BIG = 1e9
 
@@ -50,6 +50,7 @@ class GrowState(NamedTuple):
     gmin_loss: jax.Array  # [K] f32
     done: jax.Array       # [K] bool
     key: jax.Array        # [K, 2] u32
+    overflow: jax.Array   # [K] i32 — accepted steps that dropped haplotypes
     steps: jax.Array      # [] i32
 
 
@@ -103,7 +104,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
 
     def step_one(state_k, B_k, is_oob_k):
         (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
-         gmax_acc, gmin_loss, done, key) = state_k
+         gmax_acc, gmin_loss, done, key, overflow) = state_k
 
         key, k1 = jax.random.split(key)
         gumbel = jax.random.gumbel(k1, (P,))
@@ -121,8 +122,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                           0.5)
 
         valid = freq > 0
-        mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
-        fA, fB, _, _ = em_all_candidates(freq, valid, mask, B_k, g_cand,
+        fA, fB, _, _ = em_all_candidates(freq, valid, bits, allele,
+                                         geno_sel, a1, a2, B_k, g_cand,
                                          afreq, total_n)
         fA, fB = erase_rare(fA, fB, rare_prob)
         acc_c, loss_c = evaluate_candidates(bits, allele, n_snp, fA, fB,
@@ -156,6 +157,10 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         new_bits = jnp.take(bits2, order, axis=0)
         new_freq = jnp.take(freq2, order)
         new_allele = jnp.take(allele2, order)
+        # slot-capacity overflow: live haplotypes beyond Hc get dropped —
+        # count it so callers can detect silent model degradation
+        dropped = (freq2 > 0).sum() > Hc
+        overflow = overflow + jnp.where(sign & dropped, 1, 0)
         new_geno_sel = jax.lax.dynamic_update_index_in_dim(
             geno_sel, jnp.take(geno_T, chosen, axis=0).astype(jnp.int8),
             n_snp, axis=1)
@@ -180,7 +185,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
 
         done = done | (~jnp.any(pool)) | (n_snp >= MAXNUM_SNP)
         return (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
-                gmax_acc, gmin_loss, done, key)
+                gmax_acc, gmin_loss, done, key, overflow)
 
     is_oob = (B == 0) & real[None, :]
 
@@ -191,7 +196,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         out = jax.vmap(step_one)(
             (state.bits, state.freq, state.allele, state.geno_sel,
              state.n_snp, state.snp_order, state.pool, state.gmax_acc,
-             state.gmin_loss, state.done, state.key), B, is_oob)
+             state.gmin_loss, state.done, state.key, state.overflow),
+            B, is_oob)
         return GrowState(*out, steps=state.steps + 1)
 
     state0 = GrowState(
@@ -204,16 +210,25 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         gmin_loss=jnp.full(K, 1e30, jnp.float32),
         done=jnp.zeros(K, bool),
         key=key0,
+        overflow=jnp.zeros(K, jnp.int32),
         steps=jnp.asarray(0, jnp.int32))
     out = jax.lax.while_loop(cond, body, state0)
     return (out.bits, out.freq, out.allele, out.n_snp, out.snp_order,
-            out.gmax_acc)
+            out.gmax_acc, out.overflow)
 
 
 def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       hcap: int = 256, first_id: int = 0,
-                      max_steps: int = 256) -> list:
-    """Train K classifiers with the fused device loop; returns Classifiers."""
+                      max_steps: int = 256, mesh=None) -> list:
+    """Train K classifiers with the fused device loop; returns Classifiers.
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh with axis "ens"), the classifier
+    axis K of every per-classifier input is sharded across the mesh devices
+    and the training data is replicated, so the fused while-loop partitions
+    into independent per-device ensembles — the TPU-native analogue of the
+    reference's per-process classifier training (R/HIBAG.R:293-451). K must
+    be a multiple of the mesh size.
+    """
     from .model import Classifier
     from .train import _init_haplotype
     from ..utils.rng import RRng
@@ -240,11 +255,32 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
 
     keys = jnp.stack([jax.random.PRNGKey(seed * 7919 + first_id + j)
                       for j in range(K)])
-    bits, freq, allele, n_snp, snp_order, acc_cnt = fused_grow_batch(
-        jnp.asarray(bits0), jnp.asarray(freq0), jnp.asarray(allele0),
-        jnp.asarray(Bs.astype(np.float32)), jnp.asarray(real), ctx.geno_j,
-        ctx.a1_j, ctx.a2_j, keys, rare_prob, float(N), ctx.n_alleles,
-        mtry, prune, max_steps)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+        axis = mesh.axis_names[0]
+        ens = NamedSharding(mesh, Pspec(axis))
+        rep = NamedSharding(mesh, Pspec())
+        put_k = functools.partial(jax.device_put, device=ens)
+        put_r = functools.partial(jax.device_put, device=rep)
+    else:
+        put_k = put_r = jnp.asarray
+
+    bits, freq, allele, n_snp, snp_order, acc_cnt, overflow = \
+        fused_grow_batch(
+            put_k(jnp.asarray(bits0)), put_k(jnp.asarray(freq0)),
+            put_k(jnp.asarray(allele0)),
+            put_k(jnp.asarray(Bs.astype(np.float32))),
+            put_r(jnp.asarray(real)), put_r(ctx.geno_j),
+            put_r(ctx.a1_j), put_r(ctx.a2_j), put_k(keys),
+            rare_prob, float(N), ctx.n_alleles, mtry, prune, max_steps)
+    overflow = np.asarray(overflow)
+    if overflow.any():
+        import warnings
+        warnings.warn(
+            f"hcap={hcap} overflowed on {int((overflow > 0).sum())}/{K} "
+            f"classifiers ({int(overflow.sum())} accepted steps dropped "
+            f"low-frequency haplotypes); raise hcap for exact semantics")
 
     bits = np.asarray(bits)
     freq = np.asarray(freq, dtype=np.float64)

@@ -26,8 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import GENO_MISSING
-from ..models.em import (em_all_candidates, erase_rare, evaluate_candidates,
-                         match_pairs)
+from ..models.em import em_all_candidates, erase_rare, evaluate_candidates
 from ..ops.scoring import posterior_scores, unordered_from_S
 
 
@@ -119,8 +118,8 @@ def _grow_step_single(bits, freq, allele, geno_sel, B, is_oob, g_cand,
                       afreq, new_col, a1, a2, n_alleles, rare_prob, total_n):
     """Device work of ONE greedy step for ONE classifier (no decisions)."""
     valid = freq > 0
-    mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
-    fA, fB, ll_em, _ = em_all_candidates(freq, valid, mask, B, g_cand,
+    fA, fB, ll_em, _ = em_all_candidates(freq, valid, bits, allele,
+                                         geno_sel, a1, a2, B, g_cand,
                                          afreq, total_n)
     fA, fB = erase_rare(fA, fB, rare_prob)
     acc, loss = evaluate_candidates(bits, allele, new_col, fA, fB, g_cand,

@@ -45,11 +45,10 @@ def test_padded_samples_do_not_change_em(problem):
     bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
     S = geno.shape[0]
     Sp = 512  # multi-chunk territory (chunk=256 → 2 chunks)
-    mask = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
-                       jnp.asarray(allele), jnp.asarray(geno),
-                       jnp.asarray(a1), jnp.asarray(a2))
     fA, fB, ll, _ = em_all_candidates(
-        jnp.asarray(freq), jnp.asarray(freq > 0), mask, jnp.asarray(B),
+        jnp.asarray(freq), jnp.asarray(freq > 0), jnp.asarray(bits),
+        jnp.asarray(allele), jnp.asarray(geno), jnp.asarray(a1),
+        jnp.asarray(a2), jnp.asarray(B),
         jnp.asarray(g_cand), jnp.asarray(afreq), float(S))
 
     geno_p = np.full((Sp, geno.shape[1]), GENO_MISSING, np.int8)
@@ -57,12 +56,17 @@ def test_padded_samples_do_not_change_em(problem):
     a1_p = _pad(a1, Sp); a2_p = _pad(a2, Sp)
     B_p = _pad(B, Sp)                       # zero bootstrap weight
     g_cand_p = _pad(g_cand, Sp, fill=3)
+    mask = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
+                       jnp.asarray(allele), jnp.asarray(geno),
+                       jnp.asarray(a1), jnp.asarray(a2))
     mask_p = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
                          jnp.asarray(allele), jnp.asarray(geno_p),
                          jnp.asarray(a1_p), jnp.asarray(a2_p))
     np.testing.assert_array_equal(np.asarray(mask_p[:S]), np.asarray(mask))
     fA2, fB2, ll2, _ = em_all_candidates(
-        jnp.asarray(freq), jnp.asarray(freq > 0), mask_p, jnp.asarray(B_p),
+        jnp.asarray(freq), jnp.asarray(freq > 0), jnp.asarray(bits),
+        jnp.asarray(allele), jnp.asarray(geno_p), jnp.asarray(a1_p),
+        jnp.asarray(a2_p), jnp.asarray(B_p),
         jnp.asarray(g_cand_p), jnp.asarray(afreq), float(S))
     np.testing.assert_allclose(np.asarray(fA2), np.asarray(fA), rtol=2e-5,
                                atol=1e-8)
@@ -73,11 +77,10 @@ def test_padded_samples_do_not_change_eval(problem):
     bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
     S = geno.shape[0]
     Sp = 512
-    mask = match_pairs(jnp.asarray(bits), jnp.asarray(freq > 0),
-                       jnp.asarray(allele), jnp.asarray(geno),
-                       jnp.asarray(a1), jnp.asarray(a2))
     fA, fB, _, _ = em_all_candidates(
-        jnp.asarray(freq), jnp.asarray(freq > 0), mask, jnp.asarray(B),
+        jnp.asarray(freq), jnp.asarray(freq > 0), jnp.asarray(bits),
+        jnp.asarray(allele), jnp.asarray(geno), jnp.asarray(a1),
+        jnp.asarray(a2), jnp.asarray(B),
         jnp.asarray(g_cand), jnp.asarray(afreq), float(S))
     acc1, ll1 = evaluate_candidates(
         jnp.asarray(bits), jnp.asarray(allele), jnp.asarray(12), fA, fB,

@@ -79,6 +79,95 @@ def test_train_distributed_single_process(hla_types, hapmap_geno):
                                   m2.classifiers[2].snp_index)
 
 
+def test_fused_mesh_matches_unsharded(hla_types, hapmap_geno):
+    """mode="fused" with the classifier axis sharded over the virtual mesh
+    must produce the same classifiers as the unsharded fused run (the
+    per-classifier computation is device-local either way)."""
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+    from hibag_tpu.models.train import train_parallel
+    from hibag_tpu.parallel.mesh import ensemble_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    t = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"], locus="A")
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position, "A",
+                        500_000, "hg19")
+    fg = hapmap_geno.subset(
+        snp_mask=np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str)))
+    mesh = ensemble_mesh()
+    K = n_dev
+    m_sharded = train_parallel(t, fg, n_classifiers=K, seed=100, batch=K,
+                               verbose=False, with_matching=False,
+                               mode="fused", mesh=mesh, hcap=128,
+                               max_steps=64)
+    m_plain = train_parallel(t, fg, n_classifiers=K, seed=100, batch=K,
+                             verbose=False, with_matching=False,
+                             mode="fused", mesh=None, hcap=128, max_steps=64)
+    assert m_sharded.n_classifiers == K
+    for cs, cp in zip(m_sharded.classifiers, m_plain.classifiers):
+        np.testing.assert_array_equal(cs.snp_index, cp.snp_index)
+        np.testing.assert_allclose(cs.hap_freq, cp.hap_freq, rtol=1e-5)
+    oob = np.mean([c.oob_accuracy for c in m_sharded.classifiers])
+    assert oob > 0.5
+
+
+@pytest.mark.slow
+def test_train_distributed_two_processes(tmp_path):
+    """Real 2-process jax.distributed run: both workers must gather the full
+    4-classifier ensemble, identical to the single-process result."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    outs = [tmp_path / f"p{i}.npz" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "tests/_dist_worker.py", coord, "2", str(i),
+         str(outs[i])],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out.decode()
+
+    d0 = np.load(outs[0])
+    d1 = np.load(outs[1])
+    assert int(d0["n"]) == 4 and int(d1["n"]) == 4
+    for k in range(4):
+        np.testing.assert_array_equal(d0[f"snp{k}"], d1[f"snp{k}"])
+
+    # merged ensemble == single-process run (deterministic per-id RNG)
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+    from hibag_tpu.data.geno import SNPGenoData
+    from hibag_tpu.io.rdata import read_rdata, r_to_py
+    from hibag_tpu.models.train import train_parallel
+    truth = r_to_py(read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = SNPGenoData.from_hibag_r(r_to_py(read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    t = HLATypeTable.from_alleles(
+        truth["sample.id"], truth["A.1"], truth["A.2"], locus="A")
+    ids = flanking_snps(geno.snp_id, geno.snp_position, "A", 500_000, "hg19")
+    fg = geno.subset(
+        snp_mask=np.isin(geno.snp_id.astype(str), ids.astype(str)))
+    m1 = train_parallel(t, fg, n_classifiers=4, seed=100, batch=2,
+                        verbose=False, with_matching=False, mode="host")
+    for k in range(4):
+        np.testing.assert_array_equal(d0[f"snp{k}"],
+                                      m1.classifiers[k].snp_index)
+
+
 def test_classifier_range_partition():
     from hibag_tpu.parallel.mesh import classifier_range
     parts = [classifier_range(100, i, 3) for i in range(3)]
