@@ -15,12 +15,15 @@ FIRST allele of snp.allele "A/B", 3 = missing — verified genotype-for-
 genotype against the PLINK copy of the same cohort
 (tests/test_gds.py: 100% agreement on ~50k calls).
 
-Uncompressed or SeqArray ("SEQ_ARRAY") files are not supported yet; those
-raise with conversion guidance (GDS→BED via SNPRelate, or GDS→VCF).
+Codecs: ZIP (zlib) and LZMA (xz) node payloads are supported; uncompressed
+or SeqArray ("SEQ_ARRAY") files raise with conversion guidance (GDS→BED via
+SNPRelate, or GDS→VCF) — raw payloads carry no stream markers the
+pragmatic scan could anchor on.
 """
 
 from __future__ import annotations
 
+import lzma
 import zlib
 
 import numpy as np
@@ -82,6 +85,32 @@ def _zlib_streams(data: bytes, count: int) -> list:
     return out
 
 
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def _xz_streams(data: bytes, count: int) -> list:
+    """Extract `count` complete xz streams in file order (CoreArray's
+    LZMA/LZMA_RA coders write standard xz containers)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while len(out) < count:
+        i = data.find(_XZ_MAGIC, pos)
+        if i < 0:
+            break
+        try:
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            payload = dec.decompress(data[i:])
+            if dec.eof and len(payload) > 16:
+                out.append(payload)
+                pos = n - len(dec.unused_data)
+                continue
+        except lzma.LZMAError:
+            pass
+        pos = i + 1
+    return out
+
+
 def read_gds(path: str, import_chr: str = "xMHC",
              assembly: str = "hg19") -> SNPGenoData:
     """Read a SNPRelate SNP_ARRAY GDS file into SNPGenoData."""
@@ -105,10 +134,13 @@ def read_gds(path: str, import_chr: str = "xMHC",
 
     streams = _zlib_streams(data, len(_EXPECTED))
     if len(streams) < len(_EXPECTED):
+        streams = _xz_streams(data, len(_EXPECTED))
+    if len(streams) < len(_EXPECTED):
         raise NotImplementedError(
-            "could not locate all six zlib node payloads — the file is "
-            "probably stored uncompressed or with a non-ZIP codec; convert "
-            "to VCF/BED first (in R: SNPRelate::snpgdsGDS2BED).")
+            "could not locate all six node payloads as ZIP(zlib) or "
+            "LZMA(xz) streams — the file is probably stored uncompressed "
+            "or with another codec; convert to VCF/BED first "
+            "(in R: SNPRelate::snpgdsGDS2BED).")
     by_name = dict(zip([n for n in names if n in _EXPECTED], streams))
 
     sample_id = by_name["sample.id"].decode().rstrip("\x00").split("\x00")

@@ -3,14 +3,13 @@
 Equivalent of hlaAlleleToVCF (reference R/DataUtilities.R:2581-2745): each
 HLA allele becomes one VCF record with per-sample GT (carrier status of the
 allele) and DS (expected dosage), with an optional posterior-probability
-cutoff masking low-confidence calls. Gzip output is supported via the
-standard gzip module (the reference needs Rsamtools' bgzip; plain gzip is an
-accepted fallback there too).
+cutoff masking low-confidence calls. `.gz` output is true BGZF (io/bgzf.py)
+— tabix-indexable like the reference's Rsamtools bgzip connection
+(src/samtools_ext.c:1-97), and readable by any plain gzip reader.
 """
 
 from __future__ import annotations
 
-import gzip
 import time
 from typing import Sequence, Union
 
@@ -38,7 +37,11 @@ def write_vcf(results, out_fn: str, ds: bool = True,
         if not np.array_equal(np.asarray(r.sample_id), sample_id):
             raise ValueError("sample IDs differ between objects")
 
-    opener = gzip.open if out_fn.endswith(".gz") else open
+    if out_fn.endswith(".gz"):
+        from .bgzf import BgzfWriter
+        opener = BgzfWriter
+    else:
+        opener = open
     with opener(out_fn, "wt") as f:
         has_ds = ds and any(getattr(r, "dosage", None) is not None
                             for r in results)

@@ -76,3 +76,45 @@ def test_gds_predicts(model_list):
     # the missingness-weighted ensemble still agrees on the vast majority
     assert res.match_info["n_matched"] >= 50
     assert same / len(common) > 0.8
+
+
+def test_gds_lzma_codec(tmp_path):
+    """LZMA(xz)-coded payloads decode identically: transcode the bundled
+    fixture's six zlib node streams to xz in place and re-read."""
+    import lzma
+    import zlib
+    from hibag_tpu.io.gds import _zlib_streams
+
+    data = open(GDS, "rb").read()
+    # locate the six zlib streams with their byte extents
+    spans = []
+    pos = 0
+    while len(spans) < 6 and pos < len(data) - 2:
+        if data[pos] == 0x78 and data[pos + 1] in (0x01, 0x5E, 0x9C, 0xDA):
+            try:
+                dec = zlib.decompressobj()
+                payload = dec.decompress(data[pos:])
+                if dec.eof and len(payload) > 16:
+                    end = len(data) - len(dec.unused_data)
+                    spans.append((pos, end, payload))
+                    pos = end
+                    continue
+            except zlib.error:
+                pass
+        pos += 1
+    assert len(spans) == 6
+    out = bytearray()
+    last = 0
+    for start, end, payload in spans:
+        out += data[last:start]
+        out += lzma.compress(payload, format=lzma.FORMAT_XZ)
+        last = end
+    out += data[last:]
+    p = tmp_path / "lzma.gds"
+    p.write_bytes(bytes(out))
+
+    ref = read_gds(GDS, import_chr="")
+    got = read_gds(str(p), import_chr="")
+    np.testing.assert_array_equal(got.genotype, ref.genotype)
+    np.testing.assert_array_equal(got.snp_position, ref.snp_position)
+    assert list(got.sample_id) == list(ref.sample_id)

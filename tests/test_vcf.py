@@ -36,3 +36,40 @@ def test_vcf_gz_and_cutoff(model_list, hapmap_geno, tmp_path):
     body = [l for l in lines if not l.startswith("#")]
     assert all(cell.startswith("./.")
                for l in body for cell in l.split("\t")[9:])
+
+
+def test_vcf_bgzf_output(model_list, hapmap_geno, tmp_path):
+    """`.vcf.gz` output is true BGZF: BC extra field in every member, the
+    fixed EOF block, and gzip-module readability."""
+    import gzip
+    import struct
+    from hibag_tpu.io.bgzf import EOF_BLOCK
+    from hibag_tpu.models.model import AttrBagModel
+    from hibag_tpu.models.predict import predict
+
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    res = predict(model, hapmap_geno)
+    out = str(tmp_path / "o.vcf.gz")
+    write_vcf(res, out, assembly="hg19")
+    raw = open(out, "rb").read()
+    # magic + FEXTRA + BC subfield
+    assert raw[:4] == b"\x1f\x8b\x08\x04"
+    xlen = struct.unpack("<H", raw[10:12])[0]
+    extra = raw[12:12 + xlen]
+    assert extra[:2] == b"BC" and struct.unpack("<H", extra[2:4])[0] == 2
+    # terminated by the fixed BGZF EOF block
+    assert raw.endswith(EOF_BLOCK)
+    # readable as ordinary multi-member gzip
+    text = gzip.decompress(raw).decode()
+    assert text.startswith("##fileformat=VCF")
+    assert text.count("\n") > 10
+
+
+def test_bgzf_multiblock_roundtrip(tmp_path):
+    import gzip
+    from hibag_tpu.io.bgzf import BgzfWriter, MAX_BLOCK
+    p = str(tmp_path / "big.gz")
+    payload = ("x" * 97 + "\n") * (3 * MAX_BLOCK // 98)
+    with BgzfWriter(p, mode="wt") as f:
+        f.write(payload)
+    assert gzip.decompress(open(p, "rb").read()).decode() == payload
