@@ -55,23 +55,32 @@ def _match_chunk(bits, valid, allele, geno_sel, samp_a1, samp_a2):
     return block & (Dm == dmin)
 
 
-def _pick_chunk(n: int, target: int = 256) -> int:
-    """Largest divisor-friendly sample-chunk size <= target (n is padded by
-    callers so a clean chunking exists; falls back to n)."""
-    if n <= target:
-        return n
-    for c in (256, 128, 64, 32, 16, 8):
-        if c <= target and n % c == 0:
-            return c
-    return n
+def _chunk_plan(n: int, per_sample_elems: int,
+                budget_elems: int = 16 * 1024 * 1024) -> tuple:
+    """(chunk, n_chunks, pad): sample-chunk size keeping the largest
+    per-chunk intermediate under ~budget_elems f32 elements (64 MiB at the
+    default). Works for ANY n — callers pad the sample axis by `pad`
+    zero-weight rows (geno missing, B=0: EM/eval sums are unchanged,
+    tests/test_chunked.py) rather than relying on divisor-friendly sizes."""
+    c = max(8, min(256, budget_elems // max(per_sample_elems, 1)))
+    c = min(n, (c // 8) * 8)
+    if c <= 0:
+        c = min(n, 8)
+    g = -(-n // c)
+    return c, g, g * c - n
 
 
-def _chunk_for_budget(n: int, per_sample_elems: int,
-                      budget_elems: int = 16 * 1024 * 1024) -> int:
-    """Sample-chunk size keeping the largest per-chunk intermediate under
-    ~budget_elems f32 elements (64 MiB at the default)."""
-    target = max(8, budget_elems // max(per_sample_elems, 1))
-    return _pick_chunk(n, min(target, 256))
+def _pad_samples(pad: int, *arrays):
+    """Pad axis 0 of each array by `pad` rows (genotype codes with
+    GENO_MISSING-compatible 3, everything else zero)."""
+    if pad == 0:
+        return arrays
+    out = []
+    for a in arrays:
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        fill = 3 if a.dtype == jnp.int8 else 0
+        out.append(jnp.pad(a, width, constant_values=fill))
+    return tuple(out)
 
 
 @jax.jit
@@ -89,10 +98,11 @@ def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
     """
     S = geno_sel.shape[0]
     H = bits.shape[0]
-    c = _chunk_for_budget(S, H * H, 4 * 1024 * 1024)
-    if c == S:
+    c, G, pad = _chunk_plan(S, H * H, 4 * 1024 * 1024)
+    if G == 1:
         return _match_chunk(bits, valid, allele, geno_sel, samp_a1, samp_a2)
-    G = S // c
+    geno_sel, samp_a1, samp_a2 = _pad_samples(pad, geno_sel, samp_a1,
+                                              samp_a2)
 
     def body(_, xs):
         gs, a1c, a2c = xs
@@ -102,7 +112,7 @@ def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
         body, None,
         (geno_sel.reshape(G, c, -1), samp_a1.reshape(G, c),
          samp_a2.reshape(G, c)))
-    return out.reshape(S, *out.shape[2:])
+    return out.reshape(G * c, *out.shape[2:])[:S]
 
 
 # ---------------------------------------------------------------------------
@@ -114,13 +124,15 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
 
     fA/fB [C, H]; mask_c [c, H, H] bool; B_c [c]; g_c [C, c] codes.
     Returns (dfA, dfB [C, H], dll [C]) — additive contributions.
+    Compute dtype follows fA (f32 normally; f64 for the opt-in parity path).
     """
     C, H = fA.shape
-    mask_f = mask_c.astype(jnp.float32)
+    dt = fA.dtype
+    mask_f = mask_c.astype(dt)
     # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
-                   preferred_element_type=jnp.float32,
+                   preferred_element_type=dt,
                    precision=jax.lax.Precision.HIGH)         # [2C, c, H]
     t0, t1 = t[:C], t[C:]                                   # [C, c, H]
     q00 = fA[:, None, :] * t0                               # [C, c, H]
@@ -144,12 +156,12 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
             + jnp.where(is2[..., None], q11, 0)
             + jnp.where(isna[..., None], q10 + q11, 0))
     psum_safe = jnp.maximum(psum, 1e-37)
-    wgt = (B_c[None, :] / psum_safe)                        # [C, c]
+    wgt = (B_c[None, :].astype(dt) / psum_safe)             # [C, c]
     dfA = jnp.einsum("cs,csh->ch", wgt, num0,
                      precision=jax.lax.Precision.HIGH) / total_n
     dfB = jnp.einsum("cs,csh->ch", wgt, num1,
                      precision=jax.lax.Precision.HIGH) / total_n
-    dll = (B_c[None, :] * jnp.log(psum_safe)).sum(-1)       # [C]
+    dll = (B_c[None, :].astype(dt) * jnp.log(psum_safe)).sum(-1)  # [C]
     return dfA, dfB, dll
 
 
@@ -166,11 +178,12 @@ def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
     C, H = fA.shape
     S = geno_sel.shape[0]
     # mask chunk f32 [c,H,H] and t [2C,c,H] dominate
-    c = _chunk_for_budget(S, max(H * H, 2 * C * H))
-    if c == S:
+    c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
+    if G == 1:
         mask = _match_chunk(bits, valid, allele, geno_sel, a1, a2)
         return _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
-    G = S // c
+    geno_sel, a1, a2, B, gT = _pad_samples(pad, geno_sel, a1, a2, B,
+                                           g_new.T)
 
     def body(carry, xs):
         accA, accB, accL = carry
@@ -181,9 +194,9 @@ def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
 
     (accA, accB, accL), _ = jax.lax.scan(
         body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
-               jnp.zeros(C, jnp.float32)),
+               jnp.zeros(C, fA.dtype)),
         (geno_sel.reshape(G, c, -1), a1.reshape(G, c), a2.reshape(G, c),
-         B.reshape(G, c), g_new.T.reshape(G, c, C)))
+         B.reshape(G, c), gT.reshape(G, c, C)))
     return accA, accB, accL
 
 
@@ -300,14 +313,15 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
     C, H = fA.shape
     Neval = geno_sel_eval.shape[0]
     A = n_alleles
+    dt = fA.dtype
 
     ok = (fA > 0) | (fB > 0)                            # [C, H]
     base_ok = jnp.any(ok, axis=0)                       # [H]
     pair_ok = base_ok[:, None] & base_ok[None, :]
-    onehot = jax.nn.one_hot(allele, A, dtype=jnp.float32)  # [H, A]
+    onehot = jax.nn.one_hot(allele, A, dtype=dt)        # [H, A]
     Mf = jnp.stack([fA, fB], axis=1)[..., None] * onehot[None, None]
     # Mf: [C, 2, H, A]
-    s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]])         # b1+b2
+    s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]], dtype=dt)  # b1+b2
 
     def chunk_fn(geno_c, g_cand_c, a1_c, a2_c, oob_c, B_c):
         n = geno_c.shape[0]
@@ -315,13 +329,13 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         D = pair_distance(bits, geno_c)                  # [n, H, H]
         Dm = jnp.where(pair_ok[None], D, BIG)
         dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
-        Pen = jnp.exp(LOG_MIN_RARE_FREQ * (Dm - dmin))
+        Pen = jnp.exp((LOG_MIN_RARE_FREQ * (Dm - dmin)).astype(dt))
         Pen = jnp.where(pair_ok[None], Pen, 0.0)         # [n, H, H]
         T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
-                       preferred_element_type=jnp.float32,
+                       preferred_element_type=dt,
                        precision=jax.lax.Precision.HIGH)     # [C,n,2,H,A]
         Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=dt,
                         precision=jax.lax.Precision.HIGH)
         # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d):
         # g=0: q^s ; g=1: q^{|s-1|} ; g=2: q^{2-s} ; NA: 1
@@ -331,7 +345,7 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
              g[..., None, None] == 2],
             [s_grid[None, None], jnp.abs(s_grid - 1.0)[None, None],
              (2.0 - s_grid)[None, None]],
-            jnp.zeros((1, 1, 2, 2)))
+            jnp.zeros((1, 1, 2, 2), dtype=dt))
         pd = jnp.exp(LOG_MIN_RARE_FREQ * delta)
         S = jnp.einsum("cnbe,cnbeAB->cnAB", pd, Sb)      # [C, n, A, A]
 
@@ -351,19 +365,22 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         t2u = jnp.where(m1 & (p1 != t1) & (p1 == t2), -1, t2)
         m2 = (p2 == t1u) | (p2 == t2u)
         cnt = m1.astype(jnp.int32) + m2.astype(jnp.int32)
-        acc_d = jnp.where(oob_c[None] & (total > 0), cnt, 0).sum(1)
+        acc_d = jnp.where(oob_c[None] & (total > 0), cnt,
+                          0).sum(1).astype(jnp.int32)
         tq = S[:, jnp.arange(n), a1_c, a2_c]
-        tq = tq * jnp.where(a1_c == a2_c, 1.0, 2.0)[None]
+        tq = tq * jnp.where(a1_c == a2_c, 1.0, 2.0)[None].astype(dt)
         post = tq / jnp.maximum(total, 1e-37)
-        ll_d = -2.0 * (B_c[None] * jnp.log(jnp.maximum(post, 1e-37))).sum(1)
+        ll_d = -2.0 * (B_c[None].astype(dt)
+                       * jnp.log(jnp.maximum(post, 1e-37))).sum(1)
         return acc_d, ll_d
 
     # the [C, chunk, 2, H, A] contraction intermediate dominates memory
-    c = _chunk_for_budget(Neval, C * 2 * H * A, 8 * 1024 * 1024)
-    if c == Neval:
+    c, G, pad = _chunk_plan(Neval, C * 2 * H * A, 8 * 1024 * 1024)
+    if G == 1:
         return chunk_fn(geno_sel_eval, g_cand_eval, true_a1, true_a2,
                         is_oob, B)
-    G = Neval // c
+    geno_sel_eval, gT, true_a1, true_a2, is_oob, B = _pad_samples(
+        pad, geno_sel_eval, g_cand_eval.T, true_a1, true_a2, is_oob, B)
 
     def body(carry, xs):
         acc, ll = carry
@@ -372,8 +389,8 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         return (acc + da, ll + dl), None
 
     (accs, lls), _ = jax.lax.scan(
-        body, (jnp.zeros(C, jnp.int32), jnp.zeros(C, jnp.float32)),
-        (geno_sel_eval.reshape(G, c, -1), g_cand_eval.T.reshape(G, c, C),
+        body, (jnp.zeros(C, jnp.int32), jnp.zeros(C, dt)),
+        (geno_sel_eval.reshape(G, c, -1), gT.reshape(G, c, C),
          true_a1.reshape(G, c), true_a2.reshape(G, c),
          is_oob.reshape(G, c), B.reshape(G, c)))
     return accs, lls

@@ -107,24 +107,45 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
     return ens, wsum, log_match, w
 
 
+def _ru(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _prepare_ensemble(packed, n_alleles):
+    """Device-resident padded ensemble tensors, built ONCE per model (the
+    reference's SetHaploAux SoA step, src/LibHLA.cpp:2330-2349)."""
+    hap_bits = np.asarray(packed.hap_bits)
+    hap_freq = np.asarray(packed.hap_freq)
+    hap_allele = np.asarray(packed.hap_allele)
+    C, Hm, L = hap_bits.shape
+    Hp = _ru(Hm, 128)
+    Ac = _ru(n_alleles, 128)
+    hb = np.zeros((C, Hp, L), np.float32)
+    hb[:, :Hm] = hap_bits
+    W = np.zeros((C, Hp, Ac), np.float32)
+    onehot = np.zeros((C, Hm, Ac), np.float32)
+    np.put_along_axis(onehot, hap_allele[..., None].astype(np.int64), 1.0,
+                      axis=2)
+    W[:, :Hm] = onehot * hap_freq[..., None].astype(np.float32)
+    valid = np.zeros((C, Hp, 1), np.float32)
+    valid[:, :Hm, 0] = hap_freq > 0
+    return jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid)
+
+
 @functools.partial(jax.jit, static_argnames=("n_alleles",))
-def _predict_block_ens(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
+def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
                        geno_codes, n_alleles):
     """Whole-ensemble prediction for one sample block via the accumulating
-    Pallas kernel (single launch; classifiers on the fast grid axis)."""
-    from ..ops.scoring import geno_coefficients
-    from ..ops.scoring_pallas import NB, ensemble_accumulate_pallas
+    Pallas kernel (single launch; classifiers on the fast grid axis).
 
-    def _ru(x, m):
-        return ((x + m - 1) // m) * m
+    hb/W/valid: padded device tensors from _prepare_ensemble."""
+    from ..ops.scoring_pallas import ensemble_accumulate_pallas, pick_nb
 
-    C, Hm, L = hap_bits.shape
+    C, Hp, L = hb.shape
     n = geno_codes.shape[0]
     A = n_alleles
-    Hp = _ru(Hm, 128)
-    Ac = _ru(A, 128)
     Ap = _ru(A, 8)
-    Np = _ru(n, NB)
+    Np = _ru(n, pick_nb(Hp))
 
     safe = jnp.maximum(snp_index, 0)                       # [C, L]
     in_cls = snp_index >= 0
@@ -136,19 +157,11 @@ def _predict_block_ens(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
     w = ((nonmiss * wsnp[:, None, :]).sum(-1)
          / jnp.maximum(wsnp.sum(-1, keepdims=True), 1)).astype(jnp.float32)
 
-    hb = jnp.zeros((C, Hp, L), jnp.float32).at[:, :Hm].set(
-        hap_bits.astype(jnp.float32))
-    W = jnp.zeros((C, Hp, Ac), jnp.float32).at[:, :Hm].set(
-        jax.nn.one_hot(hap_allele, Ac, dtype=jnp.float32)
-        * hap_freq[..., None].astype(jnp.float32))
-    valid = jnp.zeros((C, Hp, 1), jnp.float32).at[:, :Hm].set(
-        (hap_freq > 0).astype(jnp.float32)[..., None])
     gp = jnp.full((C, Np, L), GENO_MISSING, jnp.int8).at[:, :n].set(g)
-    alpha, u, m1 = geno_coefficients(gp, jnp.float32)
     wp = jnp.zeros((C, Np, 1), jnp.float32).at[:, :n, 0].set(w)
 
     ens, dmin, total = ensemble_accumulate_pallas(
-        hb, W, valid, alpha[..., None], u, m1, wp, Ap,
+        hb, W, valid, gp, wp, Ap,
         interpret=jax.default_backend() == "cpu")
     ens = ens[:n, :A, :A]
     dmin = dmin[:, :n]
@@ -198,7 +211,7 @@ def _pair_match(a1, a2, t1, t2) -> int:
 
 def predict(model: AttrBagModel, data, vote: str = "prob",
             match_type: str = "Position", same_strand: bool = False,
-            block: int = 128, with_dosage: bool = True,
+            block: Optional[int] = None, with_dosage: bool = True,
             with_prob: bool = False, hap_bucket: int = 64,
             engine: str = "auto", type: Optional[str] = None,
             verbose: bool = False) -> PredictionResult:
@@ -210,6 +223,9 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     "response", "prob", "response+prob") overriding with_dosage/with_prob.
     engine: "jnp" (XLA matmul chain), "pallas" (fused VMEM-resident kernel),
     or "auto" (pallas on TPU backends, jnp elsewhere).
+    block: samples per device dispatch (default: 2048 for the pallas
+    ensemble path — per-dispatch latency amortizes over the block — else
+    128).
     """
     if type is not None:
         if type not in ("response+dosage", "response", "prob",
@@ -239,6 +255,10 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     N = codes.shape[0]
     A = model.n_alleles
     C = model.n_classifiers
+    use_ens_kernel = engine == "pallas" and vote == "prob"
+    if block is None:
+        block = 2048 if use_ens_kernel else 128
+    block = min(block, max(_ru(N, 8), 8))
 
     ens_all = np.zeros((N, A, A), dtype=np.float64)
     match_all = np.zeros(N, dtype=np.float64)
@@ -250,11 +270,14 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     # (batched-vmap variants add layout/gather overhead); C is always
     # divisible by 1, so no classifier padding is needed
     cchunk = 1
-    hb = jnp.asarray(packed.hap_bits)
-    hf = jnp.asarray(packed.hap_freq)
-    ha = jnp.asarray(packed.hap_allele)
     si = jnp.asarray(packed.snp_index)
     sw = jnp.asarray(packed.snp_weight.astype(np.int32))
+    if use_ens_kernel:
+        ehb, eW, evalid = _prepare_ensemble(packed, A)
+    else:
+        hb = jnp.asarray(packed.hap_bits)
+        hf = jnp.asarray(packed.hap_freq)
+        ha = jnp.asarray(packed.hap_allele)
 
     for start in range(0, N, block):
         chunk = codes[start:start + block]
@@ -262,9 +285,9 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if pad:
             chunk = np.pad(chunk, ((0, pad), (0, 0)),
                            constant_values=GENO_MISSING)
-        if engine == "pallas" and vote == "prob":
+        if use_ens_kernel:
             ens, wsum, log_match, w = _predict_block_ens(
-                hb, hf, ha, si, sw, jnp.asarray(chunk), A)
+                ehb, eW, evalid, si, sw, jnp.asarray(chunk), A)
         else:
             ens, wsum, log_match, w = _predict_block(
                 hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,

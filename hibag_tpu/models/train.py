@@ -134,15 +134,21 @@ def _init_haplotype(ctx: TrainingContext, B: np.ndarray) -> _HaploState:
 
 def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
                     mtry: int, prune: bool = True,
-                    verbose_detail: bool = False) -> Classifier:
+                    verbose_detail: bool = False,
+                    dtype=np.float32) -> Classifier:
     """Grow one classifier: greedy forward SNP selection
-    (CVariableSelection::Search, src/LibHLA.cpp:1981-2122)."""
+    (CVariableSelection::Search, src/LibHLA.cpp:1981-2122).
+
+    dtype: device compute dtype for EM/eval (np.float64 gives the opt-in
+    reference-precision path; requires jax_enable_x64 — used to quantify
+    the f32 decision deviation, see docs/DEVIATIONS.md #1).
+    """
     N, P = ctx.n_samp, ctx.n_snp
     Np = ctx.n_samp_pad
     L = MAXNUM_SNP
     n_oob = int((B == 0).sum())
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
-    B_pad = ctx.pad_B(B.astype(np.float32))
+    B_pad = ctx.pad_B(B.astype(dtype))
     Bj = jnp.asarray(B_pad)
     is_oob_j = jnp.asarray((B_pad == 0)
                            & (np.arange(Np) < N))
@@ -162,7 +168,7 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         bits_p = np.zeros((Hcap, L), dtype=np.float32)
         if state.bits.size:
             bits_p[:H, :state.bits.shape[1]] = state.bits
-        freq_p = np.zeros(Hcap, dtype=np.float32)
+        freq_p = np.zeros(Hcap, dtype=dtype)
         freq_p[:H] = state.freq
         allele_p = np.zeros(Hcap, dtype=np.int32)
         allele_p[:H] = state.allele
@@ -194,7 +200,8 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         fA, fB, _, _ = em_all_candidates(
             freq_j, valid_j, bits_j, allele_j, geno_sel_j, ctx.a1_j,
             ctx.a2_j, Bj, jnp.asarray(g_cand),
-            jnp.asarray(afreq.astype(np.float32)), float(N))
+            jnp.asarray(afreq.astype(dtype)), float(N),
+            reltol=float(np.sqrt(np.finfo(dtype).eps)))
         fA, fB = erase_rare(fA, fB, rare_prob)
 
         # evaluate OOB accuracy + in-bag log-lik for all candidates
@@ -646,9 +653,13 @@ def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
           rng: Optional[RRng] = None, verbose: bool = True,
           verbose_detail: bool = False, with_matching: bool = True,
           hap_bucket: int = 32,
-          assembly: Optional[str] = None) -> AttrBagModel:
+          assembly: Optional[str] = None,
+          dtype=np.float32) -> AttrBagModel:
     """Build an attribute-bagging model (hlaAttrBagging equivalent,
-    reference R/HIBAG.R:48-275)."""
+    reference R/HIBAG.R:48-275).
+
+    dtype: EM/eval compute precision (np.float64 = reference-precision
+    opt-in; needs jax_enable_x64)."""
     ctx, alleles, _ = make_training_context(
         hla_table, geno_data, na_rm=na_rm, mono_rm=mono_rm, maf=maf,
         hap_bucket=hap_bucket)
@@ -668,7 +679,7 @@ def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
         t0 = time.time()
         B = rng.bootstrap_counts(ctx.n_samp)
         c = grow_classifier(ctx, B, rng, m, prune=prune,
-                            verbose_detail=verbose_detail)
+                            verbose_detail=verbose_detail, dtype=dtype)
         classifiers.append(c)
         if verbose:
             print(f"[{k + 1}] {time.strftime('%Y-%m-%d %H:%M:%S')}, "

@@ -137,37 +137,77 @@ def _kernel_ens(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
         total_out[0, pl.ds(s, 1), :] = jnp.sum(S).reshape(1, 1)
 
 
-def _kernel_ens_acc(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
-                    wgt_ref, ens_out, dmin_out, total_out, hm_s, d_s, t_s):
-    """Accumulating ensemble kernel: grid (N//NB, C) with classifiers on the
+def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
+                    wgt_ref, ens_out, dmin_out, total_out, hm_s, pen_s, t_s,
+                    *, nb):
+    """Accumulating ensemble kernel: grid (N//nb, C) with classifiers on the
     FAST axis, so the ensemble block stays resident in VMEM while every
-    classifier's weighted unordered posterior is added into it."""
+    classifier's weighted unordered posterior is added into it.
+
+    All nb samples' distance matrices are produced by ONE [nb·H, L]x[L, H]
+    bf16 matmul (exact: inputs are {0,1} bits and the f32 accumulator sees
+    integer sums <= 2L), the penalty matmul pen@W batches the sample axis the
+    same way, and the final allele contraction runs at [Ap, H]x[H, Ac]
+    instead of the full 128-row grid — only the Ap (= A rounded to the 8-row
+    sublane tile) value-carrying rows are computed. This is the TPU stand-in
+    for the reference's AVX512 popcount+gather loops
+    (src/LibHLA_ext_avx512vpopcnt.cpp:96-210)."""
     c = pl.program_id(1)
-    hb = hb_ref[0]
-    w = w_ref[0]
-    invalid = 1.0 - valid_ref[0]
-    v = jnp.dot(hb, u_ref[0].T, preferred_element_type=jnp.float32)
+    H = hb_ref.shape[1]
+    hb = hb_ref[0]                              # [H, L]
+    w = w_ref[0]                                # [H, Ac]
+    invalid = 1.0 - valid_ref[0]                # [H, 1]
     Ac = w.shape[1]
     Ap = ens_out.shape[1]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (Ac, Ac), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (Ac, Ac), 1)
-    offdiag = jnp.where(ii == jj, 1.0, 2.0)
+    hb16 = hb.astype(jnp.bfloat16)
 
-    for s in range(NB):
-        hm_s[:] = hb * m1_ref[0, s, :][None, :]
-        d_s[:] = 2.0 * jnp.dot(hm_s[:], hb.T,
-                               preferred_element_type=jnp.float32)
-        D = (alpha_ref[0, s, 0] + v[:, s:s + 1] + v[:, s][None, :] + d_s[:]
+    # genotype-code decomposition (ops/scoring.py geno_coefficients) done
+    # in-kernel from the int8 block: 1 byte/SNP of HBM traffic instead of
+    # 9 (f32 u + f32 m1 + alpha); widened to i32 in VMEM — Mosaic has no
+    # 8-bit vector compare on this target
+    g = g_ref[0].astype(jnp.int32)              # [nb, L]
+    is1 = (g == 1)
+    u = ((g == 0).astype(jnp.float32) - is1.astype(jnp.float32)
+         - (g == 2).astype(jnp.float32))        # [nb, L]
+    m1 = is1.astype(jnp.float32)
+    alpha = (is1.astype(jnp.float32)
+             + 2.0 * (g == 2).astype(jnp.float32)).sum(
+                 axis=1, keepdims=True)         # [nb, 1]
+    v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)  # [H, nb]
+
+    # cross-distances for all nb samples in ONE MXU pass (bf16 exact)
+    for s in range(nb):
+        hm_s[pl.ds(s * H, H), :] = (hb * m1[s, :][None, :]).astype(
+            jnp.bfloat16)
+    cross = jnp.dot(hm_s[:], hb16.T,
+                    preferred_element_type=jnp.float32)   # [nb*H, H]
+
+    for s in range(nb):
+        D = (alpha[s, 0] + v[:, s:s + 1] + v[:, s][None, :]
+             + 2.0 * cross[s * H:(s + 1) * H, :]
              + BIG * invalid + BIG * invalid.T)
         dmin = jnp.min(D)
-        pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
-        t_s[:] = jnp.dot(pen, w, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        S = jnp.dot(w.T, t_s[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+        pen_s[pl.ds(s * H, H), :] = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
+        dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
+
+    # penalty-by-frequency contraction, batched over the sample axis
+    t_s[:] = jnp.dot(pen_s[:], w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [nb*H, Ac]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 1)
+    offdiag = jnp.where(ii == jj, 1.0, 2.0)
+    wT = w.T[:Ap, :]                                      # [Ap, H]
+    for s in range(nb):
+        S = jnp.dot(wT, t_s[pl.ds(s * H, H), :],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [Ap, Ac]
+        # S's Ap x Ac block holds every value-carrying entry (alleles map
+        # into the first A <= Ap rows / A <= Ac cols), so its sum IS the
+        # full normalizer
         total = jnp.sum(S)
-        wgt = wgt_ref[0, s, 0]
-        contrib = (S * offdiag * (wgt / jnp.maximum(total, 1e-30)))[:Ap, :]
+        contrib = S * offdiag * (wgt_ref[0, s, 0]
+                                 / jnp.maximum(total, 1e-30))
 
         @pl.when(c == 0)
         def _():
@@ -177,30 +217,37 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
         def _():
             ens_out[s] += contrib
 
-        dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
         total_out[0, pl.ds(s, 1), :] = total.reshape(1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("a_rows", "interpret"))
-def ensemble_accumulate_pallas(hap_bits, W, valid, alpha, u, m1, wgt,
-                               a_rows, interpret=False):
+def pick_nb(H: int) -> int:
+    """Sample-block width: as deep as VMEM allows for the [nb*H, H] penalty
+    scratch (~2 MB apiece for the three big buffers at nb*H = 4096)."""
+    return max(NB, min(64, 4096 // max(H, 1) * 8 // 8))
+
+
+@functools.partial(jax.jit, static_argnames=("a_rows", "nb", "interpret"))
+def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
+                               a_rows, nb=None, interpret=False):
     """Weighted ensemble posterior in ONE kernel launch.
 
-    hap_bits [C,H,L]; W [C,H,Ac]; valid [C,H,1]; alpha [C,N,1];
-    u/m1 [C,N,L]; wgt [C,N,1] per-classifier per-sample weights.
-    a_rows: padded allele-row count (multiple of 8) for the output.
+    hap_bits [C,H,L]; W [C,H,Ac]; valid [C,H,1]; g [C,N,L] int8 genotype
+    codes gathered to each classifier's SNPs; wgt [C,N,1] per-classifier
+    per-sample weights. a_rows: padded allele-row count (multiple of 8).
 
     Returns (ens [N, a_rows, Ac] = sum_c wgt*Q_c/total_c in the symmetric
     unordered convention, dmin [C,N], total [C,N]).
     """
     C, H, L = hap_bits.shape
     Ac = W.shape[2]
-    N = alpha.shape[1]
-    assert H % 128 == 0 and Ac % 128 == 0 and N % NB == 0, (H, Ac, N)
+    N = g.shape[1]
+    if nb is None:
+        nb = pick_nb(H)
+    assert H % 128 == 0 and Ac % 128 == 0 and N % nb == 0, (H, Ac, N, nb)
 
-    grid = (N // NB, C)
+    grid = (N // nb, C)
     ens, dmin, total = pl.pallas_call(
-        _kernel_ens_acc,
+        functools.partial(_kernel_ens_acc, nb=nb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, L), lambda i, c: (c, 0, 0),
@@ -209,21 +256,17 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, alpha, u, m1, wgt,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H, 1), lambda i, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((1, nb, L), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, L), lambda i, c: (c, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, L), lambda i, c: (c, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((NB, a_rows, Ac), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((nb, a_rows, Ac), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NB, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -232,17 +275,19 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, alpha, u, m1, wgt,
             jax.ShapeDtypeStruct((C, N, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((H, L), jnp.float32),
-            pltpu.VMEM((H, H), jnp.float32),
-            pltpu.VMEM((H, Ac), jnp.float32),
+            pltpu.VMEM((nb * H, L), jnp.bfloat16),
+            pltpu.VMEM((nb * H, H), jnp.float32),
+            pltpu.VMEM((nb * H, Ac), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * C * N * (H * L + H * H * L + 2 * H * H * Ac),
-            bytes_accessed=(N * a_rows * Ac + C * (H * L + H * Ac)) * 4,
+            flops=2 * C * N * (H * L + H * H * L + H * H * Ac
+                               + a_rows * H * Ac),
+            bytes_accessed=(N * a_rows * Ac * 4 + C * N * L
+                            + (N // nb) * C * (H * L + H * Ac) * 4),
             transcendentals=C * N * H * H,
         ),
         interpret=interpret,
-    )(hap_bits, W, valid, alpha, u, m1, wgt)
+    )(hap_bits, W, valid, g, wgt)
     return ens, dmin[..., 0], total[..., 0]
 
 

@@ -75,9 +75,74 @@ def train_6loci(n_classifiers: int = 100):
         }), flush=True)
 
 
+def _synthetic_cohort(n_samples: int, locus: str = "A", seed: int = 0):
+    """Resample the bundled CEU cohort (genotype column + HLA pair jointly)
+    up to n_samples individuals — keeps genotype<->HLA coherence so trained
+    classifiers stay meaningful at biobank scale."""
+    import hibag_tpu as ht
+    truth = ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    ids = ht.flanking_snps(geno.snp_id, geno.snp_position, locus,
+                           500_000, "hg19")
+    fg = geno.subset(snp_mask=np.isin(geno.snp_id.astype(str),
+                                      ids.astype(str)))
+    tmap = {s: i for i, s in enumerate(truth["sample.id"])}
+    keep = [i for i, s in enumerate(fg.sample_id) if s in tmap]
+    fg = fg.subset(samp_mask=np.asarray(keep))
+    rng = np.random.default_rng(seed)
+    cols = rng.integers(0, fg.n_samp, n_samples)
+    sid = np.array([f"s{i}" for i in range(n_samples)], dtype=object)
+    big = ht.SNPGenoData(
+        genotype=fg.genotype[:, cols], sample_id=sid,
+        snp_id=fg.snp_id, snp_position=fg.snp_position,
+        snp_allele=fg.snp_allele, assembly=fg.assembly)
+    ti = np.array([tmap[s] for s in fg.sample_id])[cols]
+    a1 = np.asarray(truth[f"{locus}.1"], dtype=object)[ti]
+    a2 = np.asarray(truth[f"{locus}.2"], dtype=object)[ti]
+    hla = ht.hlaAllele(sid, a1, a2, locus=locus, assembly="hg19")
+    return hla, big
+
+
+def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
+                 mode: str = "fused", hcap: int = 256,
+                 max_steps: int = 128, seed: int = 100):
+    """Biobank-scale training: N>=50k resampled samples on one chip with
+    bounded memory (pair masks are rematerialized per chunk — persistent
+    state is O(C*H), reference streams pair lists src/LibHLA.cpp:1104-1255).
+    """
+    import hibag_tpu as ht
+    hla, big = _synthetic_cohort(n_samples)
+    t0 = time.time()
+    m = ht.train_parallel(hla, big, n_classifiers=n_classifiers,
+                          batch=n_classifiers, seed=seed, verbose=True,
+                          with_matching=False, mode=mode, hcap=hcap,
+                          max_steps=max_steps)
+    dt = time.time() - t0
+    oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
+    print(json.dumps({
+        "metric": f"train_cohort{n_samples}_classifiers_per_s",
+        "value": round(n_classifiers / dt, 4),
+        "unit": "classifiers/s",
+        "mode": mode,
+        "n_samples": n_samples,
+        "n_snps": int(np.sum([len(c.snp_index) >= 0 for c in m.classifiers])
+                      and m.classifiers[0].hap_bits.shape[1]),
+        "n_classifiers": n_classifiers,
+        "seconds": round(dt, 2),
+        "mean_oob": round(oob, 4),
+    }), flush=True)
+    return m
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "predict"
     if which == "predict":
         predict_50k()
     elif which == "train6":
         train_6loci(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif which == "cohort":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_176
+        mode = sys.argv[3] if len(sys.argv) > 3 else "fused"
+        train_cohort(n, mode=mode)

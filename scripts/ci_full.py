@@ -1,7 +1,11 @@
 """Full 6-locus CI protocol, mirroring the reference's tests/runTests.R:
 for each locus, 50/50 stratified split, ±500 kb flanking SNPs, 10-classifier
 model, held-out accuracy floors {A:0.9, B:0.8, C:0.8, DQA1:0.8, DQB1:0.8,
-DRB1:0.7}. Run: PYTHONPATH=. python scripts/ci_full.py [n_classifiers]
+DRB1:0.7}.
+
+Run: PYTHONPATH=. python scripts/ci_full.py [n_classifiers] [--mode fused]
+--mode selects the trainer (host | fused | auto); fused runs the whole
+greedy growth on device, the production TPU path.
 """
 
 import sys
@@ -14,7 +18,7 @@ import hibag_tpu as ht
 FLOORS = {"A": 0.9, "B": 0.8, "C": 0.8, "DQA1": 0.8, "DQB1": 0.8, "DRB1": 0.7}
 
 
-def main(n_classifiers: int = 10) -> int:
+def main(n_classifiers: int = 10, mode: str = "auto") -> int:
     truth = ht.r_to_py(ht.read_rdata(
         "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
     geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
@@ -31,7 +35,8 @@ def main(n_classifiers: int = 10) -> int:
         tr, va = ht.split_alleles(hla, 0.5, np.random.default_rng(100))
         model = ht.train_parallel(tr, fg.subset_by_samples(tr.sample_id),
                                   n_classifiers=n_classifiers, seed=100,
-                                  verbose=False, with_matching=False)
+                                  verbose=False, with_matching=False,
+                                  mode=mode)
         res = ht.predict(model, fg.subset_by_samples(va.sample_id))
         cmp = ht.compare_alleles(va, res)
         acc = cmp.overall["acc.haplo"]
@@ -44,5 +49,11 @@ def main(n_classifiers: int = 10) -> int:
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sys.exit(main(n))
+    args = [a for a in sys.argv[1:]]
+    mode = "auto"
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = args[i + 1]
+        del args[i:i + 2]
+    n = int(args[0]) if args else 10
+    sys.exit(main(n, mode))

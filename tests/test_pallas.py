@@ -53,7 +53,9 @@ def test_pallas_missing_heavy():
 
 def test_ensemble_accumulate_matches_scan():
     """The single-launch ensemble kernel equals the per-classifier scan."""
-    from hibag_tpu.models.predict import _predict_block, _predict_block_ens
+    from types import SimpleNamespace
+    from hibag_tpu.models.predict import (_predict_block, _predict_block_ens,
+                                          _prepare_ensemble)
     rng = np.random.default_rng(11)
     C, H, L, A, n, P = 4, 24, 128, 9, 16, 300
     hb = np.zeros((C, H, L), np.float32)
@@ -76,7 +78,11 @@ def test_ensemble_accumulate_matches_scan():
     args = (jnp.asarray(hb), jnp.asarray(hf), jnp.asarray(ha),
             jnp.asarray(si), jnp.asarray(sw), jnp.asarray(geno))
     ens1, wsum1, lm1, w1 = _predict_block(*args, A, "prob", "jnp", 1)
-    ens2, wsum2, lm2, w2 = _predict_block_ens(*args, A)
+    ehb, eW, evalid = _prepare_ensemble(
+        SimpleNamespace(hap_bits=hb, hap_freq=hf, hap_allele=ha), A)
+    ens2, wsum2, lm2, w2 = _predict_block_ens(
+        ehb, eW, evalid, jnp.asarray(si), jnp.asarray(sw),
+        jnp.asarray(geno), A)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(wsum2), np.asarray(wsum1),
                                atol=1e-5)
