@@ -5,10 +5,12 @@ workload — HapMap CEU HLA-A, 60 samples, ~1000 flanking SNPs, 25-classifier
 ensemble. Secondary metrics (prediction throughput) are included as extra
 fields.
 
-`vs_baseline` is measured against SELF_BASELINE (the first recorded round-1
-value on this hardware); the reference publishes only relative CPU speedups
-(BASELINE.md) and no R runtime exists in this image to measure HIBAG
-directly.
+`vs_baseline` is measured against the REFERENCE CPU KERNEL: the actual
+HIBAG v1.5 kernel (LibHLA.cpp + its AVX-512 target files) compiled from
+/root/reference/src with a stub R layer (scripts/refbench/) and timed on
+this image's host CPU on the *same exported workload* (see BASELINE.md
+"Measured reference baselines"). The strongest measured target
+(AVX512VPOPCNTDQ) is used as the denominator — the conservative choice.
 """
 
 import json
@@ -30,11 +32,15 @@ except Exception:
 #: soft deadline: skip optional metrics if the mandatory ones took too long
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 
-# round-1 self-baseline: the first working implementation's throughput on
-# this chip (host-loop trainer, measured exclusively: 1.76 classifiers/s;
-# jnp predict: 834 samples/s). Later numbers report speedup over these.
-SELF_BASELINE_TRAIN = 1.76
-SELF_BASELINE_PREDICT = 834.0
+# Measured reference-kernel numbers on THIS image's CPU (4-core AVX-512
+# Xeon; scripts/refbench, data via scripts/export_baseline_data.py
+# "nearest:1000" = the exact config[0] workload, 60 samp x 976 SNP):
+#   train  (25 cls):   AVX512BW 3.72-3.79 cls/s (1t/4t), VPOPCNT 4.49 cls/s
+#   predict(100 cls, 3840 samp, 4t): AVX512BW 2522/s, VPOPCNT 3477/s
+# Denominators = the best measured target (AVX512VPOPCNTDQ).
+REF_TRAIN_CLS_PER_S = 4.49
+REF_PREDICT_SAMPLES_PER_S = 3477.0
+REF_CPU = "AVX512VPOPCNTDQ, 4 cores (scripts/refbench)"
 
 
 def main():
@@ -88,9 +94,9 @@ def main():
                                dtype=object),
             snp_id=geno.snp_id, snp_position=geno.snp_position,
             snp_allele=geno.snp_allele, assembly=geno.assembly)
-        predict(pub, big.subset(samp_mask=np.arange(256)), block=256)
+        predict(pub, big)
         t0 = time.time()
-        res = predict(pub, big, block=256)
+        res = predict(pub, big)
         pred_s = time.time() - t0
         samp_per_s = big.n_samp / pred_s
 
@@ -99,13 +105,17 @@ def main():
         "metric": "train_classifiers_per_s",
         "value": round(cls_per_s, 4),
         "unit": "classifiers/s",
-        "vs_baseline": round(cls_per_s / SELF_BASELINE_TRAIN, 3),
+        "vs_baseline": round(cls_per_s / REF_TRAIN_CLS_PER_S, 3),
+        "baseline_ref": f"HIBAG kernel v1.5 {REF_CPU}: "
+                        f"{REF_TRAIN_CLS_PER_S} cls/s, "
+                        f"{REF_PREDICT_SAMPLES_PER_S:.0f} samp/s",
         "train_seconds_25cls": round(train_s, 2),
         "mean_oob_accuracy": round(mean_oob, 4),
         "predict_samples_per_s": (round(samp_per_s, 1)
                                   if np.isfinite(samp_per_s) else None),
-        "predict_vs_baseline": (round(samp_per_s / SELF_BASELINE_PREDICT, 3)
-                                if np.isfinite(samp_per_s) else None),
+        "predict_vs_baseline": (
+            round(samp_per_s / REF_PREDICT_SAMPLES_PER_S, 3)
+            if np.isfinite(samp_per_s) else None),
         "n_snp": int(fg.n_snp),
         "n_samp": int(fg.n_samp),
     }))
