@@ -165,6 +165,36 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     return dfA, dfB, dll
 
 
+#: materialize the bool pair mask once (loop-invariant across EM
+#: iterations) when S*H*H stays under this; above it, rematerialize per
+#: chunk inside every E-step (trade MXU FLOPs for the quadratic HBM wall)
+MASK_MATERIALIZE_ELEMS = 32 * 1024 * 1024
+
+
+def _em_estep_masked(fA, fB, mask, B, g_new, total_n):
+    """One E+M step with a precomputed bool[S, H, H] pair mask (the
+    small-cohort fast path: the mask is EM-loop-invariant, so computing it
+    once outside the while_loop saves a distance matmul per iteration)."""
+    C, H = fA.shape
+    S = mask.shape[0]
+    c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
+    if G == 1:
+        return _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
+    mask, B, gT = _pad_samples(pad, mask, B, g_new.T)
+
+    def body(carry, xs):
+        accA, accB, accL = carry
+        mask_c, B_c, gT_c = xs
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c, B_c, gT_c.T, total_n)
+        return (accA + dfA, accB + dfB, accL + dll), None
+
+    (accA, accB, accL), _ = jax.lax.scan(
+        body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
+               jnp.zeros(C, fA.dtype)),
+        (mask.reshape(G, c, H, H), B.reshape(G, c), gT.reshape(G, c, C)))
+    return accA, accB, accL
+
+
 def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
               total_n):
     """One E+M step over all samples, scanning over sample chunks.
@@ -233,9 +263,16 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
 
-    def estep(fA, fB):
-        return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,
-                         B, g_new, total_n)
+    S, H = geno_sel.shape[0], freq0.shape[0]
+    if S * H * H <= MASK_MATERIALIZE_ELEMS:
+        mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+
+        def estep(fA, fB):
+            return _em_estep_masked(fA, fB, mask, B, g_new, total_n)
+    else:
+        def estep(fA, fB):
+            return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,
+                             B, g_new, total_n)
 
     fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)

@@ -92,13 +92,19 @@ class TrainingContext:
 
     def __post_init__(self):
         self.n_samp, self.n_snp = self.geno.shape
-        # pad the sample axis to a chunk-friendly multiple (64): padded rows
-        # are all-missing with zero bootstrap weight, so EM/eval sums are
-        # unchanged (tests/test_chunked.py) while the sample-chunked kernels
-        # keep clean 256/128/64 chunk splits
-        self.n_samp_pad = _round_up(self.n_samp, 64)
+        # pad the sample axis to a shape BUCKET (powers of two and their
+        # 1.5x midpoints, >= 64): padded rows are all-missing with zero
+        # bootstrap weight, so EM/eval sums are unchanged
+        # (tests/test_chunked.py), and nearby cohort sizes share compiled
+        # executables — remote-compile hygiene for the fused path
+        self.n_samp_pad = _shape_bucket(self.n_samp)
         pad = self.n_samp_pad - self.n_samp
-        self.geno_pad = np.pad(self.geno, ((0, pad), (0, 0)),
+        # SNP axis likewise bucketed for the fused trainer's static shapes;
+        # padded columns are all-missing and start outside the candidate
+        # pool, so they are never drawn (host paths only index real columns)
+        self.n_snp_pad = _shape_bucket(self.n_snp)
+        snp_pad = self.n_snp_pad - self.n_snp
+        self.geno_pad = np.pad(self.geno, ((0, pad), (0, snp_pad)),
                                constant_values=GENO_MISSING)
         self.geno_j = jnp.asarray(self.geno_pad)
         self.a1_j = jnp.asarray(np.pad(self.a1, (0, pad)))
@@ -106,6 +112,16 @@ class TrainingContext:
 
     def pad_B(self, B: np.ndarray) -> np.ndarray:
         return np.pad(B, (0, self.n_samp_pad - self.n_samp))
+
+
+def _shape_bucket(n: int, lo: int = 64) -> int:
+    """Next bucket >= n from {64, 96, 128, 192, 256, 384, ...} (powers of
+    two and their 1.5x midpoints) — bounds padding waste at 33% while
+    collapsing nearby shapes onto shared compiled executables."""
+    b = lo
+    while b < n:
+        b = b + b // 2 if (b & (b - 1)) == 0 else (b // 3) * 4
+    return b
 
 
 @dataclass

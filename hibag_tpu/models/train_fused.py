@@ -88,15 +88,17 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
     static_argnames=("n_alleles", "mtry", "prune", "max_steps"))
 def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                      rare_prob, total_n, n_alleles, mtry, prune=True,
-                     max_steps=256):
+                     max_steps=256, real_snp=None):
     """Grow K classifiers entirely on device.
 
     bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
     haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts (0 in padded
     rows); real [N] bool marks genuine samples; geno [N, P] codes;
-    a1/a2 [N]; key0 [K] PRNG keys.
+    a1/a2 [N]; key0 [K] PRNG keys; real_snp [P] bool marks genuine SNP
+    columns (bucket-padded columns start outside the candidate pool).
 
-    Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K]).
+    Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K],
+    overflow [K]).
     """
     K, Hc, L = bits0.shape
     N, P = geno.shape
@@ -188,6 +190,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                 gmax_acc, gmin_loss, done, key, overflow)
 
     is_oob = (B == 0) & real[None, :]
+    if real_snp is None:
+        real_snp = jnp.ones((P,), bool)
 
     def cond(state: GrowState):
         return (~jnp.all(state.done)) & (state.steps < max_steps)
@@ -205,7 +209,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         geno_sel=jnp.full((K, N, L), GENO_MISSING, jnp.int8),
         n_snp=jnp.zeros(K, jnp.int32),
         snp_order=jnp.full((K, L), -1, jnp.int32),
-        pool=jnp.ones((K, P), bool),
+        pool=jnp.tile(real_snp[None, :], (K, 1)),
         gmax_acc=jnp.zeros(K, jnp.int32),
         gmin_loss=jnp.full(K, 1e30, jnp.float32),
         done=jnp.zeros(K, bool),
@@ -266,6 +270,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     else:
         put_k = put_r = jnp.asarray
 
+    real_snp = np.arange(ctx.n_snp_pad) < P
     bits, freq, allele, n_snp, snp_order, acc_cnt, overflow = \
         fused_grow_batch(
             put_k(jnp.asarray(bits0)), put_k(jnp.asarray(freq0)),
@@ -273,7 +278,8 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
             put_k(jnp.asarray(Bs.astype(np.float32))),
             put_r(jnp.asarray(real)), put_r(ctx.geno_j),
             put_r(ctx.a1_j), put_r(ctx.a2_j), put_k(keys),
-            rare_prob, float(N), ctx.n_alleles, mtry, prune, max_steps)
+            rare_prob, float(N), ctx.n_alleles, mtry, prune, max_steps,
+            real_snp=put_r(jnp.asarray(real_snp)))
     overflow = np.asarray(overflow)
     if overflow.any():
         import warnings
