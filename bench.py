@@ -99,6 +99,18 @@ def main():
         res = predict(pub, big)
         pred_s = time.time() - t0
         samp_per_s = big.n_samp / pred_s
+        # achieved tensor-FLOP/s in the ensemble kernel vs chip peak:
+        # per sample per classifier the three matmuls cost
+        # 2*H*(L + H*L + H*Ac) with H/L/Ac padded to 128 multiples
+        packed = pub.pack()
+        C = pub.n_classifiers
+        Hp = ((packed.hap_bits.shape[1] + 127) // 128) * 128
+        L = packed.hap_bits.shape[2]
+        Ac = ((pub.n_alleles + 127) // 128) * 128
+        flops = 2.0 * big.n_samp * C * (Hp * L + Hp * Hp * L + Hp * Hp * Ac)
+        kernel_tflops = flops / pred_s / 1e12
+        # v5e peak: 197 TFLOP/s bf16 (distance matmul) / ~49 f32-equivalent
+        mfu_pct = 100.0 * kernel_tflops / 197.0
 
     mean_oob = float(np.mean([c.oob_accuracy for c in model.classifiers]))
     print(json.dumps({
@@ -116,6 +128,10 @@ def main():
         "predict_vs_baseline": (
             round(samp_per_s / REF_PREDICT_SAMPLES_PER_S, 3)
             if np.isfinite(samp_per_s) else None),
+        "predict_kernel_tflops": (round(kernel_tflops, 2)
+                                  if np.isfinite(samp_per_s) else None),
+        "predict_mfu_pct_bf16peak": (round(mfu_pct, 2)
+                                     if np.isfinite(samp_per_s) else None),
         "n_snp": int(fg.n_snp),
         "n_samp": int(fg.n_samp),
     }))

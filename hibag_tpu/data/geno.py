@@ -284,8 +284,23 @@ def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
         model_keys.setdefault(k, i)
     tk = data.snp_key(match_type)
     P = len(mk)
-    tfreq = data.allele_freq()
     mfreq = model.snp_allele_freq
+    geno_t = data.genotype
+    freq_cache: dict = {}
+
+    def col_freq(j: int) -> float:
+        # target allele frequency, computed lazily per matched ambiguous /
+        # mismatching column (a full-matrix allele_freq() pass costs more
+        # than the rest of the alignment at cohort scale)
+        f = freq_cache.get(j)
+        if f is None:
+            col = geno_t[j]
+            ok = col < GENO_MISSING
+            n = int(ok.sum())
+            f = float(col[ok].sum()) / (2.0 * n) if n else float("nan")
+            freq_cache[j] = f
+        return f
+
     src_idx = np.full(P, -1, dtype=np.int64)
     flip_arr = np.zeros(P, dtype=np.uint8)
     n_flip = n_amb = n_mismatch = n_swap = 0
@@ -293,10 +308,20 @@ def align_to_model(model, data: SNPGenoData, match_type: str = "Position",
         i = model_keys.get(k)
         if i is None or src_idx[i] >= 0:   # first target occurrence wins
             continue
+        m_str = str(model.snp_allele[i]).upper()
+        t_str = str(data.snp_allele[j]).upper()
+        if m_str == t_str:
+            p = m_str.split("/")
+            if (len(p) == 2 and p[0] != p[1]
+                    and _COMPLEMENT.get(p[0]) != p[1]):
+                # identical non-ambiguous "X/Y": structurally a direct match
+                # (allele_switch fast path — the overwhelmingly common case)
+                src_idx[i] = j
+                continue
         flip, category = allele_switch(
-            model.snp_allele[i], data.snp_allele[j],
+            m_str, t_str,
             None if mfreq is None else float(mfreq[i]),
-            float(tfreq[j]), same_strand=same_strand)
+            col_freq(j), same_strand=same_strand)
         src_idx[i] = j
         flip_arr[i] = 1 if flip else 0
         n_flip += int(flip)

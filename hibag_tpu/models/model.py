@@ -12,12 +12,39 @@ for ``lax.scan`` / ``shard_map`` over classifiers.
 from __future__ import annotations
 
 import json
+import weakref
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
 
 from ..constants import MAXNUM_SNP
+
+class IdCache:
+    """Per-instance memo keyed by object identity with weakref eviction —
+    a side-table replacement for instance attributes (which would leak into
+    ``Cls(**obj.__dict__)`` copy paths) that also works for unhashable
+    dataclasses."""
+
+    def __init__(self):
+        self._d = {}
+
+    def get(self, obj):
+        entry = self._d.get(id(obj))
+        return entry[1] if entry is not None else None
+
+    def set(self, obj, value):
+        key = id(obj)
+        try:
+            ref = weakref.ref(obj,
+                              lambda _r, k=key, d=self._d: d.pop(k, None))
+        except TypeError:
+            return  # object doesn't support weakrefs: skip memoization
+        self._d[key] = (ref, value)
+
+
+#: PackedEnsemble memo per model instance
+_PACK_CACHE = IdCache()
 
 
 def _round_up(x: int, m: int) -> int:
@@ -253,7 +280,18 @@ class AttrBagModel:
     # --- packing for device ------------------------------------------------
 
     def pack(self, hap_bucket: int = 64, dtype=np.float32) -> "PackedEnsemble":
-        return PackedEnsemble.from_model(self, hap_bucket=hap_bucket, dtype=dtype)
+        """Padded device layout; memoized per (hap_bucket, dtype, #cls) so
+        repeated predict() calls skip the per-classifier packing loop.
+        The memo lives in a weak side-table (not __dict__) so model
+        copy/reconstruction paths stay unaffected."""
+        key = (hap_bucket, np.dtype(dtype).str, self.n_classifiers)
+        cache = _PACK_CACHE.get(self)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        packed = PackedEnsemble.from_model(self, hap_bucket=hap_bucket,
+                                           dtype=dtype)
+        _PACK_CACHE.set(self, (key, packed))
+        return packed
 
 
 @dataclass

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..constants import GENO_MISSING, LOG_MIN_RARE_FREQ
 from ..ops.scoring import posterior_scores, unordered_from_S
-from .model import AttrBagModel
+from .model import AttrBagModel, IdCache
 
 
 @functools.partial(jax.jit,
@@ -111,9 +111,18 @@ def _ru(x, m):
     return ((x + m - 1) // m) * m
 
 
+#: device-tensor memo per PackedEnsemble (weak: dies with the pack)
+_PREP_CACHE = IdCache()
+
+
 def _prepare_ensemble(packed, n_alleles):
     """Device-resident padded ensemble tensors, built ONCE per model (the
-    reference's SetHaploAux SoA step, src/LibHLA.cpp:2330-2349)."""
+    reference's SetHaploAux SoA step, src/LibHLA.cpp:2330-2349); memoized
+    on the PackedEnsemble so repeated predict() calls skip the pad +
+    one-hot + host->device upload."""
+    cached = _PREP_CACHE.get(packed)
+    if cached is not None and cached[0] == n_alleles:
+        return cached[1]
     hap_bits = np.asarray(packed.hap_bits)
     hap_freq = np.asarray(packed.hap_freq)
     hap_allele = np.asarray(packed.hap_allele)
@@ -129,7 +138,9 @@ def _prepare_ensemble(packed, n_alleles):
     W[:, :Hm] = onehot * hap_freq[..., None].astype(np.float32)
     valid = np.zeros((C, Hp, 1), np.float32)
     valid[:, :Hm, 0] = hap_freq > 0
-    return jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid)
+    out = (jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid))
+    _PREP_CACHE.set(packed, (n_alleles, out))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles",))

@@ -116,8 +116,11 @@ class TrainingContext:
 
 def _shape_bucket(n: int, lo: int = 64) -> int:
     """Next bucket >= n from {64, 96, 128, 192, 256, 384, ...} (powers of
-    two and their 1.5x midpoints) — bounds padding waste at 33% while
-    collapsing nearby shapes onto shared compiled executables."""
+    two and their 1.5x midpoints; multiples of 8192 above that) — bounds
+    padding waste at 33% (16% at biobank scale) while collapsing nearby
+    shapes onto shared compiled executables."""
+    if n > 16384:
+        return _round_up(n, 8192)
     b = lo
     while b < n:
         b = b + b // 2 if (b & (b - 1)) == 0 else (b // 3) * 4

@@ -65,3 +65,31 @@ def test_fused_predictable_accuracy():
         _pair_match(r1, r2, alleles[t1], alleles[t2]) / 2
         for r1, r2, t1, t2 in zip(res.allele1, res.allele2, ctx.a1, ctx.a2)]
     assert np.mean(hits) > 0.85
+
+
+@pytest.mark.slow
+def test_fused_real_data_accuracy(hla_types, hapmap_geno):
+    """mode="fused" on real CEU HLA-A: held-out accuracy must clear the
+    reference CI floor (tests/runTests.R) and no hcap overflow may occur."""
+    import warnings
+    import hibag_tpu as ht
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+
+    t = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"], locus="A")
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position, "A",
+                        500_000, "hg19")
+    fg = hapmap_geno.subset(
+        snp_mask=np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str)))
+    tr, va = ht.split_alleles(t, 0.5, np.random.default_rng(100))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        model = ht.train_parallel(tr, fg.subset_by_samples(tr.sample_id),
+                                  n_classifiers=10, seed=100, verbose=False,
+                                  with_matching=False, mode="fused",
+                                  hcap=128, max_steps=64)
+    overflow_warns = [w for w in caught if "hcap" in str(w.message)]
+    assert not overflow_warns, [str(w.message) for w in overflow_warns]
+    res = ht.predict(model, fg.subset_by_samples(va.sample_id))
+    cmp = ht.compare_alleles(va, res)
+    assert cmp.overall["acc.haplo"] >= 0.9
