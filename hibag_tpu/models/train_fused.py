@@ -85,28 +85,28 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_alleles", "mtry", "prune", "max_steps"))
-def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
-                     rare_prob, total_n, n_alleles, mtry, prune=True,
-                     max_steps=256, real_snp=None):
-    """Grow K classifiers entirely on device.
+    static_argnames=("n_alleles", "mtry", "prune"),
+    donate_argnums=(0,))
+def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
+                       rare_prob, total_n, n_alleles, mtry,
+                       prune=True):
+    """Advance the fused growth while_loop until every classifier is done
+    or ``state.steps`` reaches ``step_limit`` (a dynamic scalar).
 
-    bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
-    haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts (0 in padded
-    rows); real [N] bool marks genuine samples; geno [N, P] codes;
-    a1/a2 [N]; key0 [K] PRNG keys; real_snp [P] bool marks genuine SNP
-    columns (bucket-padded columns start outside the candidate pool).
-
-    Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K],
-    overflow [K]).
+    One device dispatch per call; the host driver (fused_grow_batch) chains
+    segments so a single XLA execution never runs unboundedly long — the
+    remote-TPU tunnel kills multi-minute dispatches, and segment boundaries
+    are natural checkpoints (the reference's process farm gets the same
+    property from per-classifier job granularity, R/HIBAG.R:293-451).
+    State buffers are donated: chaining updates in place on device.
     """
-    K, Hc, L = bits0.shape
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
 
     def step_one(state_k, B_k, is_oob_k):
         (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
          gmax_acc, gmin_loss, done, key, overflow) = state_k
+        Hc = bits.shape[0]
 
         key, k1 = jax.random.split(key)
         gumbel = jax.random.gumbel(k1, (P,))
@@ -190,40 +190,103 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                 gmax_acc, gmin_loss, done, key, overflow)
 
     is_oob = (B == 0) & real[None, :]
+
+    def cond(st: GrowState):
+        return (~jnp.all(st.done)) & (st.steps < step_limit)
+
+    def body(st: GrowState):
+        out = jax.vmap(step_one)(
+            (st.bits, st.freq, st.allele, st.geno_sel,
+             st.n_snp, st.snp_order, st.pool, st.gmax_acc,
+             st.gmin_loss, st.done, st.key, st.overflow),
+            B, is_oob)
+        return GrowState(*out, steps=st.steps + 1)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+#: growth steps per device dispatch for large cohorts (bounds single-XLA-
+#: execution wall time under the remote-TPU tunnel); small cohorts run the
+#: whole loop in one dispatch
+SEGMENT_STEPS_LARGE = 8
+SEGMENT_SAMPLE_THRESHOLD = 8192
+
+
+def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
+                     rare_prob, total_n, n_alleles, mtry, prune=True,
+                     max_steps=256, real_snp=None, seg_steps=None,
+                     progress=None):
+    """Grow K classifiers on device, in bounded-length dispatch segments.
+
+    bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
+    haplotypes (freq 0 = empty slot); B [K, N] bootstrap counts (0 in padded
+    rows); real [N] bool marks genuine samples; geno [N, P] codes;
+    a1/a2 [N]; key0 [K] PRNG keys; real_snp [P] bool marks genuine SNP
+    columns (bucket-padded columns start outside the candidate pool).
+    ``seg_steps``: growth steps per device dispatch (default: all of
+    ``max_steps`` for small cohorts, SEGMENT_STEPS_LARGE above
+    SEGMENT_SAMPLE_THRESHOLD samples). ``progress``: optional callback
+    ``f(steps_done, n_done, K)`` invoked between segments.
+
+    Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K],
+    overflow [K]).
+    """
+    K, Hc, L = bits0.shape
+    N, P = geno.shape
     if real_snp is None:
         real_snp = jnp.ones((P,), bool)
+    if seg_steps is None:
+        seg_steps = (max_steps if N <= SEGMENT_SAMPLE_THRESHOLD
+                     else SEGMENT_STEPS_LARGE)
 
-    def cond(state: GrowState):
-        return (~jnp.all(state.done)) & (state.steps < max_steps)
+    # when the caller sharded the classifier axis over a mesh, place the
+    # host-created state arrays with the same K-leading sharding (replicated
+    # for the scalar), so the segment jit sees one consistent placement
+    putk = putr = lambda x: x
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = getattr(bits0, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
+            ens_k = NamedSharding(sh.mesh, PartitionSpec(sh.spec[0]))
+            rep = NamedSharding(sh.mesh, PartitionSpec())
+            putk = functools.partial(jax.device_put, device=ens_k)
+            putr = functools.partial(jax.device_put, device=rep)
+    except Exception:
+        pass
 
-    def body(state: GrowState):
-        out = jax.vmap(step_one)(
-            (state.bits, state.freq, state.allele, state.geno_sel,
-             state.n_snp, state.snp_order, state.pool, state.gmax_acc,
-             state.gmin_loss, state.done, state.key, state.overflow),
-            B, is_oob)
-        return GrowState(*out, steps=state.steps + 1)
-
-    state0 = GrowState(
+    state = GrowState(
         bits=bits0, freq=freq0, allele=allele0,
-        geno_sel=jnp.full((K, N, L), GENO_MISSING, jnp.int8),
-        n_snp=jnp.zeros(K, jnp.int32),
-        snp_order=jnp.full((K, L), -1, jnp.int32),
-        pool=jnp.tile(real_snp[None, :], (K, 1)),
-        gmax_acc=jnp.zeros(K, jnp.int32),
-        gmin_loss=jnp.full(K, 1e30, jnp.float32),
-        done=jnp.zeros(K, bool),
+        geno_sel=putk(jnp.full((K, N, L), GENO_MISSING, jnp.int8)),
+        n_snp=putk(jnp.zeros(K, jnp.int32)),
+        snp_order=putk(jnp.full((K, L), -1, jnp.int32)),
+        pool=putk(jnp.tile(jnp.asarray(real_snp)[None, :], (K, 1))),
+        gmax_acc=putk(jnp.zeros(K, jnp.int32)),
+        gmin_loss=putk(jnp.full(K, 1e30, jnp.float32)),
+        done=putk(jnp.zeros(K, bool)),
         key=key0,
-        overflow=jnp.zeros(K, jnp.int32),
-        steps=jnp.asarray(0, jnp.int32))
-    out = jax.lax.while_loop(cond, body, state0)
-    return (out.bits, out.freq, out.allele, out.n_snp, out.snp_order,
-            out.gmax_acc, out.overflow)
+        overflow=putk(jnp.zeros(K, jnp.int32)),
+        steps=putr(jnp.asarray(0, jnp.int32)))
+    steps_done = 0
+    while steps_done < max_steps:
+        limit = jnp.asarray(min(steps_done + seg_steps, max_steps),
+                            jnp.int32)
+        state = fused_grow_segment(
+            state, limit, B, real, geno, a1, a2, rare_prob, total_n,
+            n_alleles, mtry, prune)
+        steps_done = int(state.steps)        # syncs once per segment
+        done = np.asarray(state.done)
+        if progress is not None:
+            progress(steps_done, int(done.sum()), K)
+        if done.all():
+            break
+    return (state.bits, state.freq, state.allele, state.n_snp,
+            state.snp_order, state.gmax_acc, state.overflow)
 
 
 def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       hcap: int = 256, first_id: int = 0,
-                      max_steps: int = 256, mesh=None) -> list:
+                      max_steps: int = 256, mesh=None,
+                      seg_steps=None, progress=None) -> list:
     """Train K classifiers with the fused device loop; returns Classifiers.
 
     With ``mesh`` (a 1-D jax.sharding.Mesh with axis "ens"), the classifier
@@ -279,6 +342,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
             put_r(jnp.asarray(real)), put_r(ctx.geno_j),
             put_r(ctx.a1_j), put_r(ctx.a2_j), put_k(keys),
             rare_prob, float(N), ctx.n_alleles, mtry, prune, max_steps,
+            seg_steps=seg_steps, progress=progress,
             real_snp=put_r(jnp.asarray(real_snp)))
     overflow = np.asarray(overflow)
     if overflow.any():

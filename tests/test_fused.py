@@ -93,3 +93,17 @@ def test_fused_real_data_accuracy(hla_types, hapmap_geno):
     res = ht.predict(model, fg.subset_by_samples(va.sample_id))
     cmp = ht.compare_alleles(va, res)
     assert cmp.overall["acc.haplo"] >= 0.9
+
+
+def test_fused_segmented_matches_single_dispatch():
+    """Chaining bounded segments must reproduce the single-dispatch growth
+    exactly (same PRNG stream, same decisions)."""
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic(seed=5)
+    one = train_fused_batch(ctx, K=3, seed=13, mtry=7, hcap=32, max_steps=40)
+    seg = train_fused_batch(ctx, K=3, seed=13, mtry=7, hcap=32, max_steps=40,
+                            seg_steps=4)
+    for a, b in zip(one, seg):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
+        assert a.oob_accuracy == b.oob_accuracy
