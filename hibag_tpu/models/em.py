@@ -116,6 +116,58 @@ def match_pairs(bits, valid, allele, geno_sel, samp_a1, samp_a2):
 
 
 # ---------------------------------------------------------------------------
+# bit-packed pair masks (cohort-scale EM)
+# ---------------------------------------------------------------------------
+
+def _pack_mask(mask):
+    """bool [..., H] -> uint8 [..., H//8] bitfield (H must be 8-aligned)."""
+    shp = mask.shape
+    m = mask.reshape(*shp[:-1], shp[-1] // 8, 8)
+    w = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return (m * w).sum(-1).astype(jnp.uint8)
+
+
+def _unpack_mask(packed, dtype):
+    """uint8 [..., H//8] -> dtype [..., H] {0,1}."""
+    bits = (packed[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    shp = packed.shape
+    return bits.reshape(*shp[:-1], shp[-1] * 8).astype(dtype)
+
+
+@jax.jit
+def match_pairs_packed(bits, valid, allele, geno_sel, samp_a1, samp_a2):
+    """Per-sample matched-pair masks, bit-packed along the trailing
+    haplotype axis: uint8 [S, H, H//8] (8x the bool footprint reduction,
+    64x vs the f32 masks the EM matmuls consume).
+
+    The matched set is EM-loop-invariant, so at cohort scale the packed
+    mask is computed ONCE per growth step and unpacked per chunk inside
+    each E-step — replacing a per-iteration distance-matmul
+    rematerialization with a cheap VPU shift/and (the reference keeps
+    per-sample pair lists across iterations for the same reason,
+    src/LibHLA.cpp:1104-1255)."""
+    S = geno_sel.shape[0]
+    H = bits.shape[0]
+    c, G, pad = _chunk_plan(S, H * H, 4 * 1024 * 1024)
+    if G == 1:
+        return _pack_mask(_match_chunk(bits, valid, allele, geno_sel,
+                                       samp_a1, samp_a2))
+    geno_sel, samp_a1, samp_a2 = _pad_samples(pad, geno_sel, samp_a1,
+                                              samp_a2)
+
+    def body(_, xs):
+        gs, a1c, a2c = xs
+        return None, _pack_mask(
+            _match_chunk(bits, valid, allele, gs, a1c, a2c))
+
+    _, out = jax.lax.scan(
+        body, None,
+        (geno_sel.reshape(G, c, -1), samp_a1.reshape(G, c),
+         samp_a2.reshape(G, c)))
+    return out.reshape(G * c, *out.shape[2:])[:S]
+
+
+# ---------------------------------------------------------------------------
 # EM over all candidates at once
 # ---------------------------------------------------------------------------
 
@@ -125,50 +177,86 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     fA/fB [C, H]; mask_c [c, H, H] bool; B_c [c]; g_c [C, c] codes.
     Returns (dfA, dfB [C, H], dll [C]) — additive contributions.
     Compute dtype follows fA (f32 normally; f64 for the opt-in parity path).
+
+    The per-genotype selections factorize: with q_XY = f_X ⊙ t_Y
+    (t_Y[c,s,h] = Σ_j mask[s,h,j]·f_Y[c,j]), the M-step numerators are
+    num0 = fA ⊙ ((is0+isna)·t0 + (is1+isna)·t1) and
+    num1 = fB ⊙ ((is1+isna)·t0 + (is2+isna)·t1), so the weighted sample
+    sums become four [C,c]×[C,c,H] batched reductions and the [C,c,H]
+    q/num tensors are never materialized (HBM traffic, not FLOPs, bounds
+    this kernel).
     """
     C, H = fA.shape
     dt = fA.dtype
+    hp = jax.lax.Precision.HIGH
     mask_f = mask_c.astype(dt)
     # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
                    preferred_element_type=dt,
-                   precision=jax.lax.Precision.HIGH)         # [2C, c, H]
+                   precision=hp)                            # [2C, c, H]
     t0, t1 = t[:C], t[C:]                                   # [C, c, H]
-    q00 = fA[:, None, :] * t0                               # [C, c, H]
-    q01 = fA[:, None, :] * t1
-    q10 = fB[:, None, :] * t0
-    q11 = fB[:, None, :] * t1
-    s00 = q00.sum(-1)                                       # [C, c]
-    s01 = q01.sum(-1)
-    s10 = q10.sum(-1)
-    s11 = q11.sum(-1)
+    # fused multiply+reduce (NOT a dot-general): its accumulation order is
+    # batch-size-invariant, so sharded and unsharded runs stay bit-identical
+    # through the knife-edge greedy decisions (tests/test_parallel.py)
+    s00 = (fA[:, None, :] * t0).sum(-1)                     # [C, c]
+    s01 = (fA[:, None, :] * t1).sum(-1)
+    s10 = (fB[:, None, :] * t0).sum(-1)
+    s11 = (fB[:, None, :] * t1).sum(-1)
     g = g_c
     is0, is1, is2 = (g == 0), (g == 1), (g == 2)
     isna = ~(is0 | is1 | is2)
     psum = jnp.where(is0, s00,
            jnp.where(is1, s01 + s10,
            jnp.where(is2, s11, s00 + s01 + s10 + s11)))
-    num0 = (jnp.where(is0[..., None], q00, 0)
-            + jnp.where(is1[..., None], q01, 0)
-            + jnp.where(isna[..., None], q00 + q01, 0))     # [C, c, H]
-    num1 = (jnp.where(is1[..., None], q10, 0)
-            + jnp.where(is2[..., None], q11, 0)
-            + jnp.where(isna[..., None], q10 + q11, 0))
     psum_safe = jnp.maximum(psum, 1e-37)
     wgt = (B_c[None, :].astype(dt) / psum_safe)             # [C, c]
-    dfA = jnp.einsum("cs,csh->ch", wgt, num0,
-                     precision=jax.lax.Precision.HIGH) / total_n
-    dfB = jnp.einsum("cs,csh->ch", wgt, num1,
-                     precision=jax.lax.Precision.HIGH) / total_n
+    w00 = wgt * (is0 | isna).astype(dt)
+    w01 = wgt * (is1 | isna).astype(dt)
+    w11 = wgt * (is2 | isna).astype(dt)
+    dfA = fA * (jnp.einsum("cs,csh->ch", w00, t0, precision=hp)
+                + jnp.einsum("cs,csh->ch", w01, t1, precision=hp)) / total_n
+    dfB = fB * (jnp.einsum("cs,csh->ch", w01, t0, precision=hp)
+                + jnp.einsum("cs,csh->ch", w11, t1, precision=hp)) / total_n
     dll = (B_c[None, :].astype(dt) * jnp.log(psum_safe)).sum(-1)  # [C]
     return dfA, dfB, dll
 
 
 #: materialize the bool pair mask once (loop-invariant across EM
-#: iterations) when S*H*H stays under this; above it, rematerialize per
-#: chunk inside every E-step (trade MXU FLOPs for the quadratic HBM wall)
+#: iterations) when S*H*H stays under this; above it, keep a bit-packed
+#: copy (8x smaller) while it fits MASK_PACKED_BUDGET_BYTES, else
+#: rematerialize per chunk inside every E-step (trade MXU FLOPs for the
+#: quadratic HBM wall)
 MASK_MATERIALIZE_ELEMS = 32 * 1024 * 1024
+MASK_PACKED_BUDGET_BYTES = 768 * 1024 * 1024
+
+
+def _em_estep_packed(fA, fB, packed, B, g_new, total_n):
+    """One E+M step from a bit-packed pair mask [S, H, H//8] (cohort-scale
+    fast path: the mask is EM-loop-invariant; per chunk a shift/and unpack
+    replaces the distance-matmul rematerialization of _em_estep)."""
+    C, H = fA.shape
+    dt = fA.dtype
+    S = packed.shape[0]
+    c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
+    if G == 1:
+        return _em_estep_chunk(fA, fB, _unpack_mask(packed, dt), B, g_new,
+                               total_n)
+    packed, B, gT = _pad_samples(pad, packed, B, g_new.T)
+
+    def body(carry, xs):
+        accA, accB, accL = carry
+        p_c, B_c, gT_c = xs
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, _unpack_mask(p_c, dt), B_c,
+                                        gT_c.T, total_n)
+        return (accA + dfA, accB + dfB, accL + dll), None
+
+    (accA, accB, accL), _ = jax.lax.scan(
+        body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
+               jnp.zeros(C, fA.dtype)),
+        (packed.reshape(G, c, H, H // 8), B.reshape(G, c),
+         gT.reshape(G, c, C)))
+    return accA, accB, accL
 
 
 def _em_estep_masked(fA, fB, mask, B, g_new, total_n):
@@ -269,6 +357,11 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
 
         def estep(fA, fB):
             return _em_estep_masked(fA, fB, mask, B, g_new, total_n)
+    elif H % 8 == 0 and S * H * (H // 8) <= MASK_PACKED_BUDGET_BYTES:
+        packed = match_pairs_packed(bits, valid, allele, geno_sel, a1, a2)
+
+        def estep(fA, fB):
+            return _em_estep_packed(fA, fB, packed, B, g_new, total_n)
     else:
         def estep(fA, fB):
             return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,

@@ -518,10 +518,17 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
         kb = min(batch, n_classifiers - len(classifiers))
         t0 = time.time()
         if mode == "fused":
-            from .train_fused import train_fused_batch
+            from .train_fused import (SEGMENT_SAMPLE_THRESHOLD,
+                                      train_fused_batch)
+            prog = None
+            if verbose and ctx.n_samp_pad > SEGMENT_SAMPLE_THRESHOLD:
+                def prog(steps, ndone, K):
+                    print(f"   fused growth: step {steps}, "
+                          f"{ndone}/{K} classifiers done", flush=True)
             cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
                                     hcap=hcap, first_id=k0,
-                                    max_steps=max_steps, mesh=mesh)
+                                    max_steps=max_steps, mesh=mesh,
+                                    progress=prog)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]

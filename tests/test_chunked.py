@@ -97,3 +97,38 @@ def test_padded_samples_do_not_change_eval(problem):
         jnp.asarray(_pad(B, Sp)), 8)
     np.testing.assert_array_equal(np.asarray(acc2), np.asarray(acc1))
     np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll1), rtol=2e-5)
+
+
+def test_packed_mask_roundtrip(problem):
+    from hibag_tpu.models.em import (_pack_mask, _unpack_mask,
+                                     match_pairs_packed)
+    bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
+    valid = jnp.asarray(freq > 0)
+    m = match_pairs(jnp.asarray(bits), valid, jnp.asarray(allele),
+                    jnp.asarray(geno), jnp.asarray(a1), jnp.asarray(a2))
+    rt = _unpack_mask(_pack_mask(m), jnp.bool_)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(rt))
+    pk = match_pairs_packed(jnp.asarray(bits), valid, jnp.asarray(allele),
+                            jnp.asarray(geno), jnp.asarray(a1),
+                            jnp.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(_pack_mask(m)), np.asarray(pk))
+
+
+def test_packed_estep_matches_masked(problem):
+    from hibag_tpu.models.em import (_em_estep_masked, _em_estep_packed,
+                                     _pack_mask)
+    bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
+    valid = jnp.asarray(freq > 0)
+    mask = match_pairs(jnp.asarray(bits), valid, jnp.asarray(allele),
+                       jnp.asarray(geno), jnp.asarray(a1), jnp.asarray(a2))
+    C, H = g_cand.shape[0], bits.shape[0]
+    rng = np.random.default_rng(7)
+    fA = rng.random((C, H)).astype(np.float32) * (freq > 0)
+    fB = rng.random((C, H)).astype(np.float32) * (freq > 0)
+    a = _em_estep_masked(jnp.asarray(fA), jnp.asarray(fB), mask,
+                         jnp.asarray(B), jnp.asarray(g_cand), float(len(B)))
+    b = _em_estep_packed(jnp.asarray(fA), jnp.asarray(fB), _pack_mask(mask),
+                         jnp.asarray(B), jnp.asarray(g_cand), float(len(B)))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-6, atol=1e-7)
