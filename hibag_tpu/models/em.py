@@ -448,9 +448,11 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
     ok = (fA > 0) | (fB > 0)                            # [C, H]
     base_ok = jnp.any(ok, axis=0)                       # [H]
     pair_ok = base_ok[:, None] & base_ok[None, :]
-    onehot = jax.nn.one_hot(allele, A, dtype=dt)        # [H, A]
-    Mf = jnp.stack([fA, fB], axis=1)[..., None] * onehot[None, None]
-    # Mf: [C, 2, H, A]
+    onehotT = jax.nn.one_hot(allele, A, dtype=dt).T     # [A, H]
+    # allele-grouped weights with H minormost: the A axis would otherwise
+    # sit on the 128-lane dim and waste ~5x of the dominant contraction
+    Mf = jnp.stack([fA, fB], axis=1)[:, :, None, :] * onehotT[None, None]
+    # Mf: [C, 2, A, H]
     s_grid = jnp.array([[0.0, 1.0], [1.0, 2.0]], dtype=dt)  # b1+b2
 
     def chunk_fn(geno_c, g_cand_c, a1_c, a2_c, oob_c, B_c):
@@ -461,10 +463,12 @@ def evaluate_candidates(bits, allele, new_col, fA, fB, g_cand_eval,
         dmin = jnp.min(Dm, axis=(1, 2), keepdims=True)
         Pen = jnp.exp((LOG_MIN_RARE_FREQ * (Dm - dmin)).astype(dt))
         Pen = jnp.where(pair_ok[None], Pen, 0.0)         # [n, H, H]
-        T = jnp.einsum("nij,cbjB->cnbiB", Pen, Mf,
+        # both contractions run with H minormost on every operand (lane-
+        # aligned); the [C,n,2,A,H] intermediate replaces [C,n,2,H,A]
+        T = jnp.einsum("nij,ceBj->cneBi", Pen, Mf,
                        preferred_element_type=dt,
-                       precision=jax.lax.Precision.HIGH)     # [C,n,2,H,A]
-        Sb = jnp.einsum("cbiA,cneiB->cnbeAB", Mf, T,
+                       precision=jax.lax.Precision.HIGH)     # [C,n,2,A,H]
+        Sb = jnp.einsum("cbAi,cneBi->cnbeAB", Mf, T,
                         preferred_element_type=dt,
                         precision=jax.lax.Precision.HIGH)
         # candidate-SNP penalty per (b1+b2) given genotype g (hamm_d):

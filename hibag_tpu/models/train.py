@@ -503,10 +503,12 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
     m = _resolve_mtry(mtry, ctx.n_snp)
     if mode == "auto":
         # fused mode wins on accelerators at every validated scale (2x the
-        # host loop even at N=2000/P=4000); on CPU the one-dispatch
-        # advantage is moot and compiles are pure overhead
-        mode = ("fused" if jax.default_backend() != "cpu"
-                and ctx.n_samp_pad <= 4096 else "host")
+        # host loop even at N=2000/P=4000; host dispatch counts are
+        # prohibitive beyond that). Cohort-scale dispatches are segmented
+        # (train_fused.SEGMENT_STEPS_LARGE), so single-execution wall time
+        # stays bounded at any N. On CPU the one-dispatch advantage is moot
+        # and compiles are pure overhead.
+        mode = "fused" if jax.default_backend() != "cpu" else "host"
     if batch is None:
         batch = len(mesh.devices.flat) if mesh is not None \
             else min(8, max(1, len(jax.devices())))
