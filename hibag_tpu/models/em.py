@@ -228,7 +228,10 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
 #: rematerialize per chunk inside every E-step (trade MXU FLOPs for the
 #: quadratic HBM wall)
 MASK_MATERIALIZE_ELEMS = 32 * 1024 * 1024
-MASK_PACKED_BUDGET_BYTES = 768 * 1024 * 1024
+#: per-classifier packed-mask budget (vmapped trainers multiply this by the
+#: classifier batch K — at the default K=4 and H=256 this admits cohorts to
+#: ~130k samples inside a 16 GB HBM chip alongside the EM working set)
+MASK_PACKED_BUDGET_BYTES = 1280 * 1024 * 1024
 
 
 def _em_estep_packed(fA, fB, packed, B, g_new, total_n):

@@ -136,12 +136,46 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
     return m
 
 
+def train_drb1_500(n_classifiers: int = 500):
+    """BASELINE.json config[2]: 4-digit HLA-DRB1, 500 kb flank, 500
+    classifiers (stresses EM + the SNP-selection loop: DRB1 has the largest
+    allele/haplotype universe of the classical loci)."""
+    import hibag_tpu as ht
+    truth = ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    hla = ht.hlaAllele(truth["sample.id"], truth["DRB1.1"],
+                       truth["DRB1.2"], locus="DRB1", assembly="hg19")
+    ids = ht.flanking_snps(geno.snp_id, geno.snp_position, "DRB1",
+                           500_000, "hg19")
+    fg = geno.subset(snp_mask=np.isin(geno.snp_id.astype(str),
+                                      ids.astype(str)))
+    t0 = time.time()
+    m = ht.train_parallel(hla, fg, n_classifiers=n_classifiers, batch=50,
+                          seed=100, verbose=False, with_matching=False,
+                          mode="fused", hcap=192, max_steps=192)
+    dt = time.time() - t0
+    oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
+    print(json.dumps({
+        "metric": "train_drb1_500cls_classifiers_per_s",
+        "value": round(n_classifiers / dt, 2),
+        "unit": "classifiers/s",
+        "n_classifiers": n_classifiers,
+        "seconds": round(dt, 2),
+        "mean_oob": round(oob, 4),
+        "n_snps": fg.n_snp,
+    }), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "predict"
     if which == "predict":
         predict_50k()
     elif which == "train6":
         train_6loci(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif which == "drb1":
+        train_drb1_500(int(sys.argv[2]) if len(sys.argv) > 2 else 500)
     elif which == "cohort":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_176
         mode = sys.argv[3] if len(sys.argv) > 3 else "fused"

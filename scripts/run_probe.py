@@ -44,14 +44,26 @@ def main():
     t0 = time.time()
     if stage == "full":
         from hibag_tpu.models.train_fused import fused_grow_batch
-        out = fused_grow_batch(
-            jnp.asarray(bits0), jnp.asarray(freq0), jnp.asarray(allele0),
-            jnp.asarray(B), jnp.asarray(real), jnp.asarray(geno),
-            jnp.asarray(a1), jnp.asarray(a2), keys,
-            0.0005, float(N), A, mtry, True, steps)
-        n_snp = np.asarray(out[3])
-        print(f"OK n_snp={n_snp.tolist()} t={time.time() - t0:.1f}s",
-              flush=True)
+
+        def run(n_steps):
+            t0 = time.time()
+            out = fused_grow_batch(
+                jnp.asarray(bits0), jnp.asarray(freq0),
+                jnp.asarray(allele0), jnp.asarray(B), jnp.asarray(real),
+                jnp.asarray(geno), jnp.asarray(a1), jnp.asarray(a2), keys,
+                0.0005, float(N), A, mtry, True, n_steps,
+                seg_steps=n_steps)
+            ns = np.asarray(out[3])
+            return time.time() - t0, ns
+
+        t_cold, ns = run(2)
+        print(f"cold 2 steps: {t_cold:.1f}s n_snp={ns.tolist()}", flush=True)
+        # warm: the segment executable is shared (step limit is dynamic)
+        t_warm2, _ = run(2)
+        t_warm, ns = run(steps)
+        per_step = (t_warm - t_warm2) / max(steps - 2, 1)
+        print(f"warm {steps} steps: {t_warm:.1f}s (2 steps {t_warm2:.1f}s) "
+              f"-> {per_step:.2f}s/step  n_snp={ns.tolist()}", flush=True)
     elif stage in ("em", "eval"):
         from hibag_tpu.models.em import (em_all_candidates, erase_rare,
                                          evaluate_candidates)
