@@ -53,3 +53,34 @@ def test_report_formats(hla_types):
     assert "\\begin{tabular}" in tex
     html = report(r, "html")
     assert "<table" in html
+
+
+def test_align_fast_path_predicate_matches_allele_switch():
+    """The align_to_model fast path (identical non-ambiguous 'X/Y' strings
+    skip allele_switch) must agree with allele_switch's full decision for
+    every base combination it can trigger on."""
+    from itertools import product
+    from hibag_tpu.data.geno import _COMPLEMENT, allele_switch
+
+    for b1, b2 in product("ACGT", repeat=2):
+        s = f"{b1}/{b2}"
+        fast_path = (b1 != b2 and _COMPLEMENT.get(b1) != b2)
+        flip, category = allele_switch(s, s, 0.3, 0.3, same_strand=False)
+        if fast_path:
+            assert (flip, category) == (False, "match"), (s, flip, category)
+
+
+def test_align_to_model_identity(hapmap_geno):
+    """Aligning a dataset against a model built from the same SNP panel must
+    produce the identity mapping with no flips."""
+    import numpy as np
+    from types import SimpleNamespace
+    from hibag_tpu.data.geno import align_to_model
+
+    g = hapmap_geno.subset(snp_mask=np.arange(50))
+    model = SimpleNamespace(
+        snp_id=g.snp_id, snp_position=g.snp_position,
+        snp_allele=g.snp_allele, assembly=g.assembly,
+        snp_allele_freq=None)
+    codes, stats = align_to_model(model, g)
+    np.testing.assert_array_equal(codes, g.genotype.T)
