@@ -488,7 +488,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    with_matching: bool = True, hap_bucket: int = 64,
                    auto_save: Optional[str] = None,
                    first_id: int = 0, mode: str = "auto",
-                   hcap: int = 256, max_steps: int = 256) -> AttrBagModel:
+                   hcap: int = 256, max_steps: int = 256,
+                   on_overflow: str = "warn") -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
     Trains classifiers in device-batched groups of `batch` (default: one per
@@ -530,7 +531,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
             cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
                                     hcap=hcap, first_id=k0,
                                     max_steps=max_steps, mesh=mesh,
-                                    progress=prog)
+                                    progress=prog, on_overflow=on_overflow)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]

@@ -286,7 +286,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
 def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       hcap: int = 256, first_id: int = 0,
                       max_steps: int = 256, mesh=None,
-                      seg_steps=None, progress=None) -> list:
+                      seg_steps=None, progress=None,
+                      on_overflow: str = "warn", _ids=None) -> list:
     """Train K classifiers with the fused device loop; returns Classifiers.
 
     With ``mesh`` (a 1-D jax.sharding.Mesh with axis "ens"), the classifier
@@ -295,6 +296,15 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     into independent per-device ensembles — the TPU-native analogue of the
     reference's per-process classifier training (R/HIBAG.R:293-451). K must
     be a multiple of the mesh size.
+
+    ``on_overflow``: what to do when a classifier's doubled haplotype list
+    exceeds the ``hcap`` slot capacity (the reference keeps every haplotype,
+    so an overflow deviates from exact semantics by dropping the lowest-
+    frequency ones). "warn" (default) keeps the truncated classifier;
+    "retry" retrains ONLY the overflowed classifiers at doubled hcap
+    (identical per-classifier RNG streams, so non-overflowed results are
+    unaffected) until clean or hcap reaches 1024. Retries cost one extra
+    compile per hcap bucket — significant under a remote-compile tunnel.
     """
     from .model import Classifier
     from .train import _init_haplotype
@@ -303,9 +313,11 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     N, P = ctx.n_samp, ctx.n_snp
     L = MAXNUM_SNP
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
+    ids = (list(range(first_id, first_id + K)) if _ids is None
+           else list(_ids))
 
     # bootstrap from the R-replica stream (cheap, host), per classifier
-    Bs_real = np.stack([RRng((seed + 1000003 * (first_id + j)) % (2**31 - 1))
+    Bs_real = np.stack([RRng((seed + 1000003 * ids[j]) % (2**31 - 1))
                         .bootstrap_counts(N) for j in range(K)])
     Bs = np.stack([ctx.pad_B(b) for b in Bs_real])
     real = np.arange(ctx.n_samp_pad) < N
@@ -320,7 +332,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         freq0[k, :h] = st.freq
         allele0[k, :h] = st.allele
 
-    keys = jnp.stack([jax.random.PRNGKey(seed * 7919 + first_id + j)
+    keys = jnp.stack([jax.random.PRNGKey(seed * 7919 + ids[j])
                       for j in range(K)])
 
     if mesh is not None:
@@ -345,12 +357,22 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
             seg_steps=seg_steps, progress=progress,
             real_snp=put_r(jnp.asarray(real_snp)))
     overflow = np.asarray(overflow)
+    retry_map = {}
     if overflow.any():
-        import warnings
-        warnings.warn(
-            f"hcap={hcap} overflowed on {int((overflow > 0).sum())}/{K} "
-            f"classifiers ({int(overflow.sum())} accepted steps dropped "
-            f"low-frequency haplotypes); raise hcap for exact semantics")
+        if on_overflow == "retry" and hcap < 1024:
+            bad = [k for k in range(K) if overflow[k] > 0]
+            retrained = train_fused_batch(
+                ctx, len(bad), seed, mtry, prune, hcap * 2, 0, max_steps,
+                mesh=None, seg_steps=seg_steps, on_overflow=on_overflow,
+                _ids=[ids[k] for k in bad])
+            retry_map = dict(zip(bad, retrained))
+        else:
+            import warnings
+            warnings.warn(
+                f"hcap={hcap} overflowed on {int((overflow > 0).sum())}/{K} "
+                f"classifiers ({int(overflow.sum())} accepted steps dropped "
+                f"low-frequency haplotypes); raise hcap (or pass "
+                f"on_overflow='retry') for exact semantics")
 
     bits = np.asarray(bits)
     freq = np.asarray(freq, dtype=np.float64)
@@ -360,6 +382,9 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     acc_cnt = np.asarray(acc_cnt)
     out = []
     for k in range(K):
+        if k in retry_map:
+            out.append(retry_map[k])
+            continue
         ns = int(n_snp[k])
         sel = freq[k] > 0
         # order haplotypes by allele for the standard grouped layout

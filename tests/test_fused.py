@@ -107,3 +107,26 @@ def test_fused_segmented_matches_single_dispatch():
         np.testing.assert_array_equal(a.snp_index, b.snp_index)
         np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
         assert a.oob_accuracy == b.oob_accuracy
+
+
+def test_fused_overflow_retry_matches_big_hcap():
+    """on_overflow='retry' retrains overflowed classifiers at doubled hcap
+    with identical RNG streams — the result must equal training directly at
+    the larger capacity, with no overflow warning."""
+    import warnings
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic(seed=9, n=48, p=64, n_alleles=6)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6, max_steps=30)
+    assert [w for w in caught if "hcap" in str(w.message)], \
+        "fixture must actually overflow hcap=6 for this test to bite"
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        small = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6,
+                                  max_steps=30, on_overflow="retry")
+    assert not [w for w in caught if "hcap" in str(w.message)]
+    big = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=48, max_steps=30)
+    for a, b in zip(small, big):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
