@@ -525,9 +525,10 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                                       train_fused_batch)
             prog = None
             if verbose and ctx.n_samp_pad > SEGMENT_SAMPLE_THRESHOLD:
-                def prog(steps, ndone, K):
-                    print(f"   fused growth: step {steps}, "
-                          f"{ndone}/{K} classifiers done", flush=True)
+                def prog(steps, ndone, K, _t0=time.time()):
+                    print(f"   fused growth: step {steps}, {ndone}/{K} "
+                          f"classifiers done [{time.time() - _t0:.1f}s]",
+                          flush=True)
             cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
                                     hcap=hcap, first_id=k0,
                                     max_steps=max_steps, mesh=mesh,
