@@ -254,8 +254,12 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
     except Exception:
         pass
 
+    # the segment jit DONATES the state: copy caller-provided leaves so a
+    # caller's arrays are never invalidated (a second call with the same
+    # key0/bits0 would otherwise hit deleted buffers — TPU INVALID_ARGUMENT)
     state = GrowState(
-        bits=bits0, freq=freq0, allele=allele0,
+        bits=jnp.array(bits0, copy=True), freq=jnp.array(freq0, copy=True),
+        allele=jnp.array(allele0, copy=True),
         geno_sel=putk(jnp.full((K, N, L), GENO_MISSING, jnp.int8)),
         n_snp=putk(jnp.zeros(K, jnp.int32)),
         snp_order=putk(jnp.full((K, L), -1, jnp.int32)),
@@ -263,7 +267,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         gmax_acc=putk(jnp.zeros(K, jnp.int32)),
         gmin_loss=putk(jnp.full(K, 1e30, jnp.float32)),
         done=putk(jnp.zeros(K, bool)),
-        key=key0,
+        key=jnp.array(key0, copy=True),
         overflow=putk(jnp.zeros(K, jnp.int32)),
         steps=putr(jnp.asarray(0, jnp.int32)))
     steps_done = 0

@@ -6,10 +6,19 @@ Prints one JSON line per measurement. Run exclusively on the TPU.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def predict_50k(n_samples: int = 51_200, engine: str = "pallas"):
