@@ -489,14 +489,20 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    auto_save: Optional[str] = None,
                    first_id: int = 0, mode: str = "auto",
                    hcap: int = 256, max_steps: int = 256,
-                   on_overflow: str = "warn") -> AttrBagModel:
+                   on_overflow: str = "warn",
+                   resume: bool = False) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
     Trains classifiers in device-batched groups of `batch` (default: one per
     mesh device, or 8). With `auto_save`, writes the partial model after
     every batch — the reference's incremental-checkpoint behavior
-    (R/HIBAG.R:359-422).
+    (R/HIBAG.R:359-422). With `resume=True` and an existing `auto_save`
+    file, training continues from the saved partial ensemble (same
+    per-classifier RNG substreams, so the completed model is identical to
+    an uninterrupted run) — an extension beyond the reference, which only
+    writes checkpoints.
     """
+    import os as _os
     import jax
     ctx, alleles, _ = make_training_context(
         hla_table, geno_data, na_rm=na_rm, mono_rm=mono_rm, maf=maf,
@@ -516,6 +522,13 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
 
     classifiers: list = []
     k0 = first_id
+    if resume and auto_save and _os.path.exists(auto_save):
+        prev = AttrBagModel.load(auto_save)
+        classifiers = list(prev.classifiers)[:n_classifiers]
+        k0 = first_id + len(classifiers)
+        if verbose and classifiers:
+            print(f"-- resuming from {auto_save}: "
+                  f"{len(classifiers)}/{n_classifiers} classifiers")
     model = None
     while len(classifiers) < n_classifiers:
         kb = min(batch, n_classifiers - len(classifiers))

@@ -173,3 +173,30 @@ def test_classifier_range_partition():
     parts = [classifier_range(100, i, 3) for i in range(3)]
     ids = [k for r in parts for k in r]
     assert ids == list(range(100))
+
+
+def test_auto_save_resume_matches_uninterrupted(tmp_path, hla_types,
+                                                hapmap_geno):
+    """Interrupt after one batch, resume from the auto-save, and the final
+    model must equal an uninterrupted run (same RNG substreams)."""
+    import hibag_tpu as ht
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+
+    t = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"],
+        locus="A")
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position, "A",
+                        250_000, "hg19")
+    fg = hapmap_geno.subset(
+        snp_mask=np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str)))
+    kw = dict(seed=100, verbose=False, with_matching=False, mode="host",
+              batch=2)
+    full = ht.train_parallel(t, fg, n_classifiers=4, **kw)
+    p = str(tmp_path / "part.npz")
+    ht.train_parallel(t, fg, n_classifiers=2, auto_save=p, **kw)
+    resumed = ht.train_parallel(t, fg, n_classifiers=4, auto_save=p,
+                                resume=True, **kw)
+    assert len(resumed.classifiers) == 4
+    for a, b in zip(full.classifiers, resumed.classifiers):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
