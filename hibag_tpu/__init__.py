@@ -13,6 +13,32 @@ the full mapping.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache():
+    """Persist compiled executables across processes (XLA compilation
+    cache). On remote-compile TPU setups a cold compile of the fused
+    trainer costs minutes; the serialized executable loads in seconds.
+    Opt out with HIBAG_TPU_NO_COMPILE_CACHE=1; an existing user-configured
+    cache dir is left untouched."""
+    import os
+    if os.environ.get("HIBAG_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir:
+            return
+        path = os.environ.get(
+            "HIBAG_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/hibag_tpu/xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from .constants import MAXNUM_SNP, MIN_RARE_FREQ
 from .data.allele import (HLATypeTable, allele_digit, flanking_snps,
                           loci_info, sort_alleles, split_alleles,
