@@ -74,9 +74,13 @@ def main():
     kw = dict(n_classifiers=n_cls, batch=n_cls, verbose=False,
               with_matching=False, mode="fused", hcap=192, max_steps=192)
     train_parallel(hla, fg, seed=1, **kw)
-    t0 = time.time()
-    model = train_parallel(hla, fg, seed=100, **kw)
-    train_s = time.time() - t0
+    # best-of-3: remote-tunnel dispatch latency varies session to session;
+    # the best repetition reflects the device, not the tunnel's mood
+    train_s = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        model = train_parallel(hla, fg, seed=100, **kw)
+        train_s = min(train_s, time.time() - t0)
     cls_per_s = n_cls / train_s
 
     # ---- prediction throughput (100-classifier published model) ---------
@@ -95,9 +99,11 @@ def main():
             snp_id=geno.snp_id, snp_position=geno.snp_position,
             snp_allele=geno.snp_allele, assembly=geno.assembly)
         predict(pub, big)
-        t0 = time.time()
-        res = predict(pub, big)
-        pred_s = time.time() - t0
+        pred_s = float("inf")
+        for rep in range(3):
+            t0 = time.time()
+            res = predict(pub, big)
+            pred_s = min(pred_s, time.time() - t0)
         samp_per_s = big.n_samp / pred_s
         # achieved tensor-FLOP/s in the ensemble kernel vs chip peak:
         # per sample per classifier the three matmuls cost
