@@ -119,6 +119,26 @@ hlaCheckSNPs = check_snps
 hlaSampleAllele = sample_alleles
 
 
+def hlaCombineAllele(h1: HLATypeTable, h2: HLATypeTable) -> HLATypeTable:
+    """Concatenate two HLA type tables with disjoint sample sets
+    (reference R/DataUtilities.R:1287-1316)."""
+    return h1.combine(h2)
+
+
+def hlaSetKernelTarget(cpu: str = "max"):
+    """Compatibility shim for the reference's SIMD-target selector
+    (R/HIBAG.R hlaSetKernelTarget, src/HIBAG.cpp kernel dispatch).
+
+    On TPU the compiler owns instruction selection, so there is nothing to
+    switch; returns the active JAX backend/device description the way the
+    reference returns the chosen CPU flags."""
+    import jax
+    dev = jax.devices()[0]
+    return {"target": cpu, "backend": jax.default_backend(),
+            "device": str(dev.device_kind
+                          if hasattr(dev, "device_kind") else dev)}
+
+
 hlaGDS2Geno = read_gds
 
 
