@@ -138,25 +138,30 @@ def _kernel_ens(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
 
 
 def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
-                    wgt_ref, ens_out, dmin_out, total_out, hm_s, pen_s, t_s,
-                    *, nb):
+                    wgt_ref, ens_out, dmin_out, total_out, hm_s, pen2_s,
+                    u3_s, *, nb):
     """Accumulating ensemble kernel: grid (N//nb, C) with classifiers on the
     FAST axis, so the ensemble block stays resident in VMEM while every
     classifier's weighted unordered posterior is added into it.
 
     All nb samples' distance matrices are produced by ONE [nb·H, L]x[L, H]
     bf16 matmul (exact: inputs are {0,1} bits and the f32 accumulator sees
-    integer sums <= 2L), the penalty matmul pen@W batches the sample axis the
-    same way, and the final allele contraction runs at [Ap, H]x[H, Ac]
-    instead of the full 128-row grid — only the Ap (= A rounded to the 8-row
-    sublane tile) value-carrying rows are computed. This is the TPU stand-in
-    for the reference's AVX512 popcount+gather loops
+    integer sums <= 2L). The per-sample allele contraction Wᵀ·pen_s·W
+    exploits the SYMMETRY of pen_s: each sample's penalty block is stored
+    column-wise into one [H, nb·H] buffer (a free layout change), so the
+    whole block's left contraction is ONE [Ap, H]x[H, nb·H] matmul and,
+    after a cheap [Ap, H]-block regrouping, the right contraction is ONE
+    [nb·Ap, H]x[H, Ac] matmul — no per-sample matmul tail, and 8x fewer
+    value-carrying FLOPs than a pen@W formulation (only the Ap value rows
+    are ever computed). This is the TPU stand-in for the reference's
+    AVX512 popcount+gather loops
     (src/LibHLA_ext_avx512vpopcnt.cpp:96-210)."""
     c = pl.program_id(1)
     H = hb_ref.shape[1]
     hb = hb_ref[0]                              # [H, L]
     w = w_ref[0]                                # [H, Ac]
     invalid = 1.0 - valid_ref[0]                # [H, 1]
+    inv_row = invalid.T                         # [1, H] (one relayout/step)
     Ac = w.shape[1]
     Ap = ens_out.shape[1]
     hb16 = hb.astype(jnp.bfloat16)
@@ -173,7 +178,11 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
     alpha = (is1.astype(jnp.float32)
              + 2.0 * (g == 2).astype(jnp.float32)).sum(
                  axis=1, keepdims=True)         # [nb, 1]
-    v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)  # [H, nb]
+    # v in BOTH orientations via two cheap matmuls: a column slice of v and
+    # a row slice of v2 are layout-natural, avoiding a per-sample
+    # cross-lane transpose of v[:, s]
+    v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)   # [H, nb]
+    v2 = jnp.dot(u, hb.T, preferred_element_type=jnp.float32)  # [nb, H]
 
     # cross-distances for all nb samples in ONE MXU pass (bf16 exact)
     for s in range(nb):
@@ -183,25 +192,34 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
                     preferred_element_type=jnp.float32)   # [nb*H, H]
 
     for s in range(nb):
-        D = (alpha[s, 0] + v[:, s:s + 1] + v[:, s][None, :]
+        D = (alpha[s, 0] + v[:, s:s + 1] + v2[s:s + 1, :]
              + 2.0 * cross[s * H:(s + 1) * H, :]
-             + BIG * invalid + BIG * invalid.T)
+             + BIG * invalid + BIG * inv_row)
         dmin = jnp.min(D)
-        pen_s[pl.ds(s * H, H), :] = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
+        # pen_s is symmetric, so storing the block at a column offset IS the
+        # transposed layout the left contraction wants
+        pen2_s[:, pl.ds(s * H, H)] = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
         dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
 
-    # penalty-by-frequency contraction, batched over the sample axis
-    t_s[:] = jnp.dot(pen_s[:], w, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [nb*H, Ac]
-
+    # left contraction for ALL samples at once: [Ap, H] x [H, nb*H]
+    wT = w.T[:Ap, :]                                      # [Ap, H]
+    U2 = jnp.dot(wT, pen2_s[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)     # [Ap, nb*H]
+    # regroup [Ap, nb*H] -> [nb*Ap, H] (nb tiny block copies), then the
+    # right contraction is one matmul whose output rows are already in
+    # the [nb, Ap, Ac] ensemble-block layout
+    for s in range(nb):
+        u3_s[pl.ds(s * Ap, Ap), :] = U2[:, s * H:(s + 1) * H]
+    S_all = jnp.dot(u3_s[:], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [nb*Ap, Ac]
+    # Writeback stays per-sample 2D: Mosaic SIGABRTs on an in-kernel
+    # [nb*Ap, Ac] -> [nb, Ap, Ac] reshape + 3D broadcast, and the loop body
+    # here is pure VPU elementwise on Ap x Ac tiles (no matmul tail).
     ii = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 1)
     offdiag = jnp.where(ii == jj, 1.0, 2.0)
-    wT = w.T[:Ap, :]                                      # [Ap, H]
     for s in range(nb):
-        S = jnp.dot(wT, t_s[pl.ds(s * H, H), :],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [Ap, Ac]
+        S = S_all[s * Ap:(s + 1) * Ap, :]                 # [Ap, Ac]
         # S's Ap x Ac block holds every value-carrying entry (alleles map
         # into the first A <= Ap rows / A <= Ac cols), so its sum IS the
         # full normalizer
@@ -276,11 +294,11 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
         ],
         scratch_shapes=[
             pltpu.VMEM((nb * H, L), jnp.bfloat16),
-            pltpu.VMEM((nb * H, H), jnp.float32),
-            pltpu.VMEM((nb * H, Ac), jnp.float32),
+            pltpu.VMEM((H, nb * H), jnp.float32),
+            pltpu.VMEM((nb * a_rows, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * C * N * (H * L + H * H * L + H * H * Ac
+            flops=2 * C * N * (2 * H * L + H * H * L + a_rows * H * H
                                + a_rows * H * Ac),
             bytes_accessed=(N * a_rows * Ac * 4 + C * N * L
                             + (N // nb) * C * (H * L + H * Ac) * 4),
