@@ -106,14 +106,18 @@ def main():
             pred_s = min(pred_s, time.time() - t0)
         samp_per_s = big.n_samp / pred_s
         # achieved tensor-FLOP/s in the ensemble kernel vs chip peak:
-        # per sample per classifier the three matmuls cost
-        # 2*H*(L + H*L + H*Ac) with H/L/Ac padded to 128 multiples
+        # per sample per classifier the matmuls cost
+        # 2*(2*H*L + H*H*L + Ap*H*H + Ap*H*Ac) — two genotype projections,
+        # the cross-distance matmul, and the two batched symmetric
+        # allele contractions (only Ap value-carrying rows are computed)
         packed = pub.pack()
         C = pub.n_classifiers
         Hp = ((packed.hap_bits.shape[1] + 127) // 128) * 128
         L = packed.hap_bits.shape[2]
         Ac = ((pub.n_alleles + 127) // 128) * 128
-        flops = 2.0 * big.n_samp * C * (Hp * L + Hp * Hp * L + Hp * Hp * Ac)
+        Ap = ((pub.n_alleles + 7) // 8) * 8
+        flops = 2.0 * big.n_samp * C * (2 * Hp * L + Hp * Hp * L
+                                        + Ap * Hp * Hp + Ap * Hp * Ac)
         kernel_tflops = flops / pred_s / 1e12
         # v5e peak: 197 TFLOP/s bf16 (distance matmul) / ~49 f32-equivalent
         mfu_pct = 100.0 * kernel_tflops / 197.0
