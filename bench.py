@@ -71,8 +71,14 @@ def main():
     # run is the compile warmup (kernel shapes are pinned by hcap/max_steps)
     from hibag_tpu.models.train import train_parallel
     n_cls = 25
+    # hcap=128 fits the live haplotype count of this workload for 24/25
+    # classifiers (the H^2 EM/eval terms scale with the slot capacity, so
+    # smaller slots = faster); on_overflow="retry" retrains the one
+    # overflowing classifier at 2x slots on the identical RNG stream, so
+    # semantics stay exact and the retry cost is included in the timing
     kw = dict(n_classifiers=n_cls, batch=n_cls, verbose=False,
-              with_matching=False, mode="fused", hcap=192, max_steps=192)
+              with_matching=False, mode="fused", hcap=128, max_steps=192,
+              on_overflow="retry")
     train_parallel(hla, fg, seed=1, **kw)
     # best-of-3: remote-tunnel dispatch latency varies session to session;
     # the best repetition reflects the device, not the tunnel's mood
