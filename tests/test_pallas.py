@@ -90,3 +90,60 @@ def test_ensemble_accumulate_matches_scan():
                                rtol=3e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(lm2), np.asarray(lm1),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("nb,A", [(8, 14), (16, 9), (32, 16)])
+def test_ensemble_accumulate_kernel_direct(nb, A):
+    """ensemble_accumulate_pallas vs a straightforward jnp evaluation, over
+    sample-block widths and allele counts at/below the Ap row tile."""
+    from hibag_tpu.constants import LOG_MIN_RARE_FREQ
+    from hibag_tpu.ops.scoring_pallas import ensemble_accumulate_pallas
+
+    rng = np.random.default_rng(3 * nb + A)
+    C, H, L, N = 3, 128, 128, 2 * nb
+    Ap = ((A + 7) // 8) * 8
+    Ac = 128
+    hb = (rng.random((C, H, L)) < 0.5).astype(np.float32)
+    allele = np.sort(rng.integers(0, A, (C, H)), axis=1)
+    freq = rng.dirichlet(np.ones(H), C).astype(np.float32)
+    valid = np.ones((C, H), bool)
+    valid[:, H - 16:] = False
+    freq[~valid] = 0.0
+    W = np.zeros((C, H, Ac), np.float32)
+    for c in range(C):
+        W[c, np.arange(H), allele[c]] = freq[c]
+    g = rng.integers(0, 4, (C, N, L)).astype(np.int8)
+    wgt = rng.random((C, N, 1)).astype(np.float32)
+
+    ens, dmin, total = ensemble_accumulate_pallas(
+        jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid[..., None]
+                                                     .astype(np.float32)),
+        jnp.asarray(g), jnp.asarray(wgt), Ap, nb=nb,
+        interpret=jax.default_backend() == "cpu")
+
+    # reference: explicit per-classifier distance + penalty + contraction
+    ens_ref = np.zeros((N, Ap, Ac))
+    for c in range(C):
+        for s in range(N):
+            gs = g[c, s].astype(np.int64)
+            D = np.zeros((H, H))
+            for i in range(H):
+                for j in range(H):
+                    h1, h2 = hb[c, i], hb[c, j]
+                    obs = gs <= 2
+                    D[i, j] = np.sum(np.where(obs,
+                                              np.abs(h1 + h2 - gs), 0.0))
+            D = np.where(valid[c][:, None] & valid[c][None, :], D, np.inf)
+            dm = D.min()
+            pen = np.where(np.isfinite(D), np.exp(LOG_MIN_RARE_FREQ
+                                                  * (D - dm)), 0.0)
+            S = W[c].T @ pen @ W[c]
+            tot = S[:A, :A].sum()
+            assert np.isclose(np.asarray(total)[c, s], tot, rtol=2e-3), (
+                c, s, tot, np.asarray(total)[c, s])
+            assert np.isclose(np.asarray(dmin)[c, s], dm, atol=1e-3)
+            off = 2.0 - np.eye(Ac)
+            ens_ref[s] += (S[:Ap] * off[:Ap]) * wgt[c, s, 0] / max(tot,
+                                                                   1e-30)
+    np.testing.assert_allclose(np.asarray(ens), ens_ref, rtol=3e-3,
+                               atol=1e-8)
