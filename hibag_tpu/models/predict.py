@@ -234,8 +234,9 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     "response", "prob", "response+prob") overriding with_dosage/with_prob.
     engine: "jnp" (XLA matmul chain), "pallas" (fused VMEM-resident kernel),
     or "auto" (pallas on TPU backends, jnp elsewhere).
-    block: samples per device dispatch (default: 2048 for the pallas
-    ensemble path — per-dispatch latency amortizes over the block — else
+    block: samples per device dispatch (default: 4096 for the pallas
+    ensemble path — the remote-dispatch round trip costs ~0.25 s, so
+    fewer/larger dispatches win until the padded tail dominates — else
     128).
     """
     if type is not None:
@@ -268,7 +269,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     C = model.n_classifiers
     use_ens_kernel = engine == "pallas" and vote == "prob"
     if block is None:
-        block = 2048 if use_ens_kernel else 128
+        block = 4096 if use_ens_kernel else 128
     block = min(block, max(_ru(N, 8), 8))
 
     ens_all = np.zeros((N, A, A), dtype=np.float64)
