@@ -291,6 +291,37 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         hf = jnp.asarray(packed.hap_freq)
         ha = jnp.asarray(packed.hap_allele)
 
+    @jax.jit
+    def _matching_stats(log_match, w):
+        """Per-sample matching reduction on DEVICE: pulling the [C, n]
+        matrices through the remote tunnel costs more than the kernel at
+        cohort scale. Log-sum-exp keeps tiny likelihoods (< f32 subnormal
+        range as plain exp) exact to f32 log precision."""
+        m = jnp.max(log_match, axis=0)                        # [n]
+        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jnp.exp(log_match - safe_m[None, :]).sum(axis=0)
+        lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
+        return lse, w.sum(axis=0)
+
+    def _finalize(start, n_eff, out):
+        ens, wsum, lse, wssum = out
+        ens = np.asarray(ens, dtype=np.float64)
+        wsum = np.asarray(wsum, dtype=np.float64)
+        lse = np.asarray(lse, dtype=np.float64)               # [n]
+        wssum = np.asarray(wssum, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            matching = np.where(wssum > 0, np.exp(lse) / wssum, np.nan)
+        ens_all[start:start + n_eff] = ens[:n_eff]
+        match_all[start:start + n_eff] = matching[:n_eff]
+        wsum_all[start:start + n_eff] = wsum[:n_eff]
+        prog.forward(n_eff)
+
+    # pipeline the block dispatches: the host pull of block i syncs the
+    # device, so pulling eagerly serializes dispatch round trips (remote
+    # tunnel: ~0.25 s each). Keep a bounded window of blocks in flight and
+    # finalize lazily — JAX async dispatch overlaps upload/compute/pull.
+    MAX_IN_FLIGHT = 8
+    pending = []
     for start in range(0, N, block):
         chunk = codes[start:start + block]
         pad = block - chunk.shape[0]
@@ -304,19 +335,12 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             ens, wsum, log_match, w = _predict_block(
                 hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,
                 cchunk)
-        ens = np.asarray(ens, dtype=np.float64)
-        wsum = np.asarray(wsum, dtype=np.float64)
-        log_match = np.asarray(log_match, dtype=np.float64)  # [C, n]
-        w = np.asarray(w, dtype=np.float64)
-        n_eff = block - pad
-        with np.errstate(divide="ignore", invalid="ignore"):
-            msum = np.exp(log_match).sum(axis=0)              # [n]
-            wssum = w.sum(axis=0)
-            matching = np.where(wssum > 0, msum / wssum, np.nan)
-        ens_all[start:start + n_eff] = ens[:n_eff]
-        match_all[start:start + n_eff] = matching[:n_eff]
-        wsum_all[start:start + n_eff] = wsum[:n_eff]
-        prog.forward(n_eff)
+        lse, wssum = _matching_stats(log_match, w)
+        pending.append((start, block - pad, (ens, wsum, lse, wssum)))
+        if len(pending) >= MAX_IN_FLIGHT:
+            _finalize(*pending.pop(0))
+    for item in pending:
+        _finalize(*item)
 
     # --- host-side finalization ------------------------------------------
     iu, ju = np.triu_indices(A)

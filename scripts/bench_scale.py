@@ -37,10 +37,10 @@ def predict_50k(n_samples: int = 51_200, engine: str = "pallas"):
         snp_id=geno.snp_id, snp_position=geno.snp_position,
         snp_allele=geno.snp_allele, assembly=geno.assembly)
     # warmup
-    ht.predict(model, big.subset(samp_mask=np.arange(512)), block=512,
+    ht.predict(model, big.subset(samp_mask=np.arange(4096)), block=4096,
                engine=engine)
     t0 = time.time()
-    res = ht.predict(model, big, block=512, engine=engine)
+    res = ht.predict(model, big, block=4096, engine=engine)
     dt = time.time() - t0
     print(json.dumps({
         "metric": "predict_samples_per_s_50k",
