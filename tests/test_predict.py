@@ -90,3 +90,19 @@ def test_predict_with_missing_snps(model, hapmap_geno):
     res = predict(model, sub)
     assert res.match_info["n_matched"] < model.n_snp
     assert np.all([a is not None for a in res.allele1])
+
+
+def test_predict_block_pipeline_equivalence(model, hapmap_geno):
+    """Multi-block pipelined prediction (small block, padded tail) must
+    match the single-block result exactly — covers the in-flight window,
+    the device-side matching reduction, and block-boundary indexing."""
+    from hibag_tpu.models.predict import predict
+
+    one = predict(model, hapmap_geno, block=64)     # 60 samples, one block
+    many = predict(model, hapmap_geno, block=16)    # 4 blocks, padded tail
+    assert list(one.allele1) == list(many.allele1)
+    assert list(one.allele2) == list(many.allele2)
+    np.testing.assert_allclose(many.prob, one.prob, rtol=1e-6)
+    np.testing.assert_allclose(many.matching, one.matching, rtol=1e-5)
+    np.testing.assert_allclose(many.dosage, one.dosage, rtol=1e-6,
+                               atol=1e-12)
