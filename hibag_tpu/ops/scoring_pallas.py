@@ -261,7 +261,9 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
     N = g.shape[1]
     if nb is None:
         nb = pick_nb(H)
-    assert H % 128 == 0 and Ac % 128 == 0 and N % nb == 0, (H, Ac, N, nb)
+    # H=64 runs at half-lane MXU utilization but half the FLOPs of a
+    # 128-padded layout — a net win for the (majority) small classifiers
+    assert H % 64 == 0 and Ac % 128 == 0 and N % nb == 0, (H, Ac, N, nb)
 
     grid = (N // nb, C)
     ens, dmin, total = pl.pallas_call(
