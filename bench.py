@@ -80,10 +80,10 @@ def main():
               with_matching=False, mode="fused", hcap=128, max_steps=192,
               on_overflow="retry")
     train_parallel(hla, fg, seed=1, **kw)
-    # best-of-3: remote-tunnel dispatch latency varies session to session;
+    # best-of-5: remote-tunnel dispatch latency varies session to session;
     # the best repetition reflects the device, not the tunnel's mood
     train_s = float("inf")
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.time()
         model = train_parallel(hla, fg, seed=100, **kw)
         train_s = min(train_s, time.time() - t0)
@@ -106,7 +106,7 @@ def main():
             snp_allele=geno.snp_allele, assembly=geno.assembly)
         predict(pub, big)
         pred_s = float("inf")
-        for rep in range(3):
+        for rep in range(5):
             t0 = time.time()
             res = predict(pub, big)
             pred_s = min(pred_s, time.time() - t0)
