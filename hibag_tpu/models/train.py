@@ -489,7 +489,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    auto_save: Optional[str] = None,
                    first_id: int = 0, mode: str = "auto",
                    hcap: int = 256, max_steps: int = 256,
-                   on_overflow: str = "warn",
+                   on_overflow: str = "warn", seg_steps: Optional[int] = None,
                    resume: bool = False) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
@@ -501,6 +501,11 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
     per-classifier RNG substreams, so the completed model is identical to
     an uninterrupted run) — an extension beyond the reference, which only
     writes checkpoints.
+
+    seg_steps (fused mode): growth steps per device dispatch. Default
+    bounds single-dispatch wall time automatically; pass 1 at extreme
+    (N, hcap) scales where even the default segment outruns the dispatch
+    environment's limits.
     """
     import os as _os
     import jax
@@ -545,7 +550,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
             cls = train_fused_batch(ctx, kb, seed=seed, mtry=m, prune=prune,
                                     hcap=hcap, first_id=k0,
                                     max_steps=max_steps, mesh=mesh,
-                                    progress=prog, on_overflow=on_overflow)
+                                    seg_steps=seg_steps, progress=prog,
+                                    on_overflow=on_overflow)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]
