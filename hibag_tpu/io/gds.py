@@ -1,24 +1,38 @@
 """GDS (CoreArray) import for SNPRelate "SNP_ARRAY" files.
 
-Equivalent of hlaGDS2Geno (reference R/DataUtilities.R:787) for the common
-case: a ZIP(zlib)-compressed SNP_ARRAY GDS with the standard node set
-(sample.id, snp.id, snp.position, snp.chromosome, snp.allele, genotype).
+Equivalent of hlaGDS2Geno (reference R/DataUtilities.R:787) for SNPRelate
+SNP_ARRAY GDS files with the standard node set (sample.id, snp.id,
+snp.position, snp.chromosome, snp.allele, genotype).
 
-The CoreArray container is parsed pragmatically rather than via a full
-block-graph implementation: the root directory (block 1, directly after the
-12-byte "COREARRAYx0A" magic) is scanned for the node names and the
-FileFormat attribute, and the per-node data payloads — zlib streams — are
-extracted in directory order (node storage order matches directory order in
-SNPRelate-written files). Genotypes are 2-bit packed SNP-major with
-0/1/2 = B-allele dosage complement ... concretely: code = count of the
-FIRST allele of snp.allele "A/B", 3 = missing — verified genotype-for-
-genotype against the PLINK copy of the same cohort
-(tests/test_gds.py: 100% agreement on ~50k calls).
+The CoreArray container is parsed at the block-graph level (reverse-
+engineered from SNPRelate-written files; the reference links the gdsfmt C++
+library instead):
 
-Codecs: ZIP (zlib) and LZMA (xz) node payloads are supported; uncompressed
-or SeqArray ("SEQ_ARRAY") files raise with conversion guidance (GDS→BED via
-SNPRelate, or GDS→VCF) — raw payloads carry no stream markers the
-pragmatic scan could anchor on.
+- After the 12-byte "COREARRAYx0A" magic and a 6-byte version prefix, the
+  file is a chain of blocks. Each block head is a 6-byte little-endian word
+  whose low 46 bits are the block's total length (header included) and
+  whose bit 47 marks a stream head, followed by a 6-byte next-block file
+  offset (0 = none). Stream-head blocks carry 10 more bytes: a u32 stream
+  ID and a 48-bit total stream size (continuation blocks chained through
+  the next pointer carry only the 12-byte header).
+- Stream 1 is the root folder: length-prefixed entries whose name follows
+  the 4-byte marker 44 C6 60 10 and whose node-header stream ID sits 14
+  bytes before it, plus the FileFormat attribute.
+- Each node-header stream is a record list: the codec name ("ZIP", "LZMA",
+  ...) follows marker C4 46 6D 10 (absent for uncompressed storage) and the
+  data-stream ID follows marker C4 C3 7C 0C. Array dims follow C3 43 61.
+- Data streams hold the node payload: a raw zlib stream for "ZIP", a raw
+  xz container for "LZMA", or the uncompressed bytes when no codec record
+  is present.
+
+Genotypes are 2-bit packed SNP-major with 0/1/2 = count of the FIRST
+allele of snp.allele "A/B" and 3 = missing — verified genotype-for-
+genotype against the PLINK copy of the same cohort (tests/test_gds.py:
+100% agreement on ~50k calls).
+
+Codecs: ZIP (zlib), LZMA (xz), and uncompressed nodes are supported; the
+random-access variants (ZIP_RA/LZMA_RA/LZ4...) and SeqArray ("SEQ_ARRAY")
+files raise with conversion guidance (GDS→BED via SNPRelate, or GDS→VCF).
 """
 
 from __future__ import annotations
@@ -35,80 +49,111 @@ _MAGIC = b"COREARRAYx0A"
 _EXPECTED = ("sample.id", "snp.id", "snp.position", "snp.chromosome",
              "snp.allele", "genotype")
 
+_BLOCK_START = 18            # magic (12) + version prefix (6)
+_HEAD_BIT = 1 << 47
+_SIZE_MASK = (1 << 46) - 1
+_DIR_MARKER = b"\x44\xc6\x60\x10"    # precedes a directory entry name
+_CODER_MARKER = b"\xc4\x46\x6d\x10"  # precedes the codec name record
+_DATA_MARKER = b"\xc4\xc3\x7c\x0c"   # precedes the data-stream ID
 
-def _directory_names(data: bytes) -> list:
-    """Entry names from the root folder block (marker-based scan)."""
-    names = []
-    pos = 14
-    end = min(len(data), 4096)
-    marker = b"\x44\xc6\x60\x10"   # precedes the length-prefixed entry name
+
+def _u(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def _parse_streams(data: bytes) -> dict:
+    """Walk the block chain and reassemble {stream id: payload bytes}."""
+    n = len(data)
+    blocks = {}       # offset -> (size, next, sid, total, content_start)
+    pos = _BLOCK_START
+    while pos + 12 <= n:
+        word = _u(data[pos:pos + 6])
+        size = word & _SIZE_MASK
+        if size < 12 or pos + size > n:
+            break
+        nxt = _u(data[pos + 6:pos + 12])
+        if (word & _HEAD_BIT) and size >= 22:
+            sid = _u(data[pos + 12:pos + 16])
+            total = _u(data[pos + 16:pos + 22])
+            blocks[pos] = (size, nxt, sid, total, pos + 22)
+        else:
+            blocks[pos] = (size, nxt, None, None, pos + 12)
+        pos += size
+
+    streams = {}
+    for off, (size, nxt, sid, total, cstart) in blocks.items():
+        if sid is None:
+            continue
+        chunks = [data[cstart:off + size]]
+        got = len(chunks[0])
+        while got < total and nxt in blocks:
+            bsize, bnxt, bsid, _, bstart = blocks[nxt]
+            if bsid is not None:      # head blocks never continue a chain
+                break
+            chunk = data[bstart:nxt + bsize]
+            chunks.append(chunk)
+            got += len(chunk)
+            nxt = bnxt
+        streams[sid] = b"".join(chunks)[:total]
+    return streams
+
+
+def _dir_entries(root: bytes) -> list:
+    """(name, node-header stream id) pairs from the root folder stream."""
+    entries = []
+    pos = 0
     while True:
-        i = data.find(marker, pos, end)
+        i = root.find(_DIR_MARKER, pos)
         if i < 0:
             break
-        ln = data[i + 4]
-        name = data[i + 5:i + 5 + ln]
+        ln = root[i + 4]
+        name = root[i + 5:i + 5 + ln]
+        pos = i + 5 + ln
+        if i < 14:
+            continue
+        sid = _u(root[i - 14:i - 10])
         try:
-            names.append(name.decode("ascii"))
+            entries.append((name.decode("ascii"), sid))
         except UnicodeDecodeError:
             pass
-        pos = i + 5 + ln
-    return names
+    return entries
 
 
-def _file_format(data: bytes) -> str:
-    i = data.find(b"\nFileFormat", 0, 8192)
+def _file_format(root: bytes) -> str:
+    """The FileFormat attribute stored on the root folder."""
+    i = root.find(b"FileFormat")
     if i < 0:
         return ""
-    # layout: \x0a"FileFormat"[type tag 0x0e][len u8][chars]
-    ln = data[i + 12]
-    return data[i + 13:i + 13 + ln].decode("ascii", "replace")
+    # layout: "FileFormat" [type tag 0x0e] [len u8] [chars]
+    ln = root[i + 11]
+    return root[i + 12:i + 12 + ln].decode("ascii", "replace")
 
 
-def _zlib_streams(data: bytes, count: int) -> list:
-    """Extract `count` complete zlib streams in file order."""
-    out = []
-    pos = 0
-    n = len(data)
-    while len(out) < count and pos < n - 2:
-        if data[pos] == 0x78 and data[pos + 1] in (0x01, 0x5E, 0x9C, 0xDA):
-            try:
-                dec = zlib.decompressobj()
-                payload = dec.decompress(data[pos:])
-                if dec.eof and len(payload) > 16:
-                    out.append(payload)
-                    pos = n - len(dec.unused_data)
-                    continue
-            except zlib.error:
-                pass
-        pos += 1
-    return out
+def _node_info(hdr: bytes):
+    """(codec name, data stream id) from a node-header stream."""
+    coder = ""
+    i = hdr.find(_CODER_MARKER)
+    if i >= 0:
+        ln = hdr[i + 4]
+        coder = hdr[i + 5:i + 5 + ln].decode("ascii", "replace")
+    j = hdr.find(_DATA_MARKER)
+    data_sid = _u(hdr[j + 4:j + 8]) if j >= 0 else None
+    return coder, data_sid
 
 
-_XZ_MAGIC = b"\xfd7zXZ\x00"
-
-
-def _xz_streams(data: bytes, count: int) -> list:
-    """Extract `count` complete xz streams in file order (CoreArray's
-    LZMA/LZMA_RA coders write standard xz containers)."""
-    out = []
-    pos = 0
-    n = len(data)
-    while len(out) < count:
-        i = data.find(_XZ_MAGIC, pos)
-        if i < 0:
-            break
-        try:
-            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-            payload = dec.decompress(data[i:])
-            if dec.eof and len(payload) > 16:
-                out.append(payload)
-                pos = n - len(dec.unused_data)
-                continue
-        except lzma.LZMAError:
-            pass
-        pos = i + 1
-    return out
+def _decode_payload(payload: bytes, coder: str, name: str) -> bytes:
+    if coder == "":
+        return payload
+    if coder == "ZIP":
+        dec = zlib.decompressobj()
+        return dec.decompress(payload)
+    if coder == "LZMA":
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        return dec.decompress(payload)
+    raise NotImplementedError(
+        f"GDS node {name!r} uses the {coder!r} codec; only ZIP, LZMA and "
+        "uncompressed storage are supported — convert to VCF/BED first "
+        "(in R: SNPRelate::snpgdsGDS2BED).")
 
 
 def read_gds(path: str, import_chr: str = "xMHC",
@@ -120,28 +165,31 @@ def read_gds(path: str, import_chr: str = "xMHC",
         data = f.read()
     if not data.startswith(_MAGIC):
         raise ValueError(f"not a CoreArray GDS file: {path}")
-    fmt = _file_format(data)
+    streams = _parse_streams(data)
+    if 1 not in streams:
+        raise ValueError(f"no root folder stream in GDS file: {path}")
+    root = streams[1]
+    fmt = _file_format(root)
     if fmt and fmt != "SNP_ARRAY":
         raise NotImplementedError(
             f"GDS FileFormat {fmt!r} is not supported (only SNP_ARRAY); "
             "convert with SeqArray/SNPRelate to VCF or PLINK BED first.")
-    names = _directory_names(data)
-    missing = [n for n in _EXPECTED if n not in names]
+    entries = dict(_dir_entries(root))
+    missing = [n for n in _EXPECTED if n not in entries]
     if missing:
         raise NotImplementedError(
             f"GDS file lacks expected SNP_ARRAY nodes {missing} "
-            f"(found {names}); convert to VCF/BED first.")
+            f"(found {sorted(entries)}); convert to VCF/BED first.")
 
-    streams = _zlib_streams(data, len(_EXPECTED))
-    if len(streams) < len(_EXPECTED):
-        streams = _xz_streams(data, len(_EXPECTED))
-    if len(streams) < len(_EXPECTED):
-        raise NotImplementedError(
-            "could not locate all six node payloads as ZIP(zlib) or "
-            "LZMA(xz) streams — the file is probably stored uncompressed "
-            "or with another codec; convert to VCF/BED first "
-            "(in R: SNPRelate::snpgdsGDS2BED).")
-    by_name = dict(zip([n for n in names if n in _EXPECTED], streams))
+    by_name = {}
+    for name in _EXPECTED:
+        hdr = streams.get(entries[name])
+        if hdr is None:
+            raise ValueError(f"GDS node {name!r} has no header stream")
+        coder, data_sid = _node_info(hdr)
+        if data_sid is None or data_sid not in streams:
+            raise ValueError(f"GDS node {name!r} has no data stream")
+        by_name[name] = _decode_payload(streams[data_sid], coder, name)
 
     sample_id = by_name["sample.id"].decode().rstrip("\x00").split("\x00")
     snp_id = by_name["snp.id"].decode().rstrip("\x00").split("\x00")

@@ -78,43 +78,93 @@ def test_gds_predicts(model_list):
     assert same / len(common) > 0.8
 
 
-def test_gds_lzma_codec(tmp_path):
-    """LZMA(xz)-coded payloads decode identically: transcode the bundled
-    fixture's six zlib node streams to xz in place and re-read."""
+def _transcode_gds(coder: str) -> bytes:
+    """Rebuild the bundled ZIP-coded fixture with a different node codec.
+
+    Streams are re-laid-out block by block: node data payloads are
+    re-encoded per `coder` ("" = raw bytes, "LZMA" = xz, any 3-char name =
+    keep zlib payloads but relabel the codec record), and each node-header
+    stream is rewritten accordingly — for uncompressed storage the three
+    pipe records (codec name, size pair, level) are dropped and the record
+    count decremented; otherwise the codec name is replaced in place.
+    """
     import lzma
     import zlib
-    from hibag_tpu.io.gds import _zlib_streams
+    from hibag_tpu.io import gds as G
 
     data = open(GDS, "rb").read()
-    # locate the six zlib streams with their byte extents
-    spans = []
-    pos = 0
-    while len(spans) < 6 and pos < len(data) - 2:
-        if data[pos] == 0x78 and data[pos + 1] in (0x01, 0x5E, 0x9C, 0xDA):
-            try:
-                dec = zlib.decompressobj()
-                payload = dec.decompress(data[pos:])
-                if dec.eof and len(payload) > 16:
-                    end = len(data) - len(dec.unused_data)
-                    spans.append((pos, end, payload))
-                    pos = end
-                    continue
-            except zlib.error:
-                pass
-        pos += 1
-    assert len(spans) == 6
-    out = bytearray()
-    last = 0
-    for start, end, payload in spans:
-        out += data[last:start]
-        out += lzma.compress(payload, format=lzma.FORMAT_XZ)
-        last = end
-    out += data[last:]
-    p = tmp_path / "lzma.gds"
-    p.write_bytes(bytes(out))
+    streams = G._parse_streams(data)
+    entries = dict(G._dir_entries(streams[1]))
+    header_sids = set(entries.values())
+    data_sids = {}
+    for name, hsid in entries.items():
+        _, dsid = G._node_info(streams[hsid])
+        if dsid is not None:
+            data_sids[dsid] = hsid
+
+    def rewrite_header(h: bytes) -> bytes:
+        start = h.find(b"\x15" + G._CODER_MARKER)
+        dims = h.find(b"\x07\xc4\xe3\x64\x1f")
+        if start < 0 or dims < 0:
+            return h
+        end = dims - 1          # the dims record's type byte precedes this
+        out = bytearray(h)
+        if coder == "":
+            out[start:end] = b""
+            nrec = int.from_bytes(out[6:8], "little") - 3
+            out[6:8] = nrec.to_bytes(2, "little")
+        else:
+            name = coder.encode()
+            out[start + 5:start + 9] = bytes([len(name)]) + name
+        out[0:6] = len(out).to_bytes(6, "little")
+        return bytes(out)
+
+    def recode_payload(p: bytes) -> bytes:
+        raw = zlib.decompressobj().decompress(p)
+        if coder == "":
+            return raw
+        if coder == "LZMA":
+            return lzma.compress(raw, format=lzma.FORMAT_XZ)
+        return p                # relabel only — payload stays zlib
+
+    out = bytearray(data[:G._BLOCK_START])
+    pos = G._BLOCK_START
+    while pos + 12 <= len(data):
+        word = int.from_bytes(data[pos:pos + 6], "little")
+        size = word & G._SIZE_MASK
+        sid = int.from_bytes(data[pos + 12:pos + 16], "little")
+        content = data[pos + 22:pos + size]
+        if sid in header_sids:
+            content = rewrite_header(content)
+        elif sid in data_sids:
+            content = recode_payload(content)
+        bsize = 22 + len(content)
+        out += (bsize | G._HEAD_BIT).to_bytes(6, "little")
+        out += (0).to_bytes(6, "little")
+        out += sid.to_bytes(4, "little")
+        out += len(content).to_bytes(6, "little")
+        out += content
+        pos += size
+    return bytes(out)
+
+
+@pytest.mark.parametrize("coder", ["", "LZMA"])
+def test_gds_codec_variants(tmp_path, coder):
+    """Uncompressed and LZMA(xz)-coded node payloads decode identically
+    to the ZIP-coded original."""
+    p = tmp_path / f"variant_{coder or 'raw'}.gds"
+    p.write_bytes(_transcode_gds(coder))
 
     ref = read_gds(GDS, import_chr="")
     got = read_gds(str(p), import_chr="")
     np.testing.assert_array_equal(got.genotype, ref.genotype)
     np.testing.assert_array_equal(got.snp_position, ref.snp_position)
     assert list(got.sample_id) == list(ref.sample_id)
+    assert list(got.snp_allele) == list(ref.snp_allele)
+
+
+def test_gds_unknown_codec_raises(tmp_path):
+    p = tmp_path / "lz4.gds"
+    p.write_bytes(_transcode_gds("LZ4"))
+    with pytest.raises(NotImplementedError, match="LZ4"):
+        read_gds(str(p), import_chr="")
