@@ -78,7 +78,7 @@ def test_gds_predicts(model_list):
     assert same / len(common) > 0.8
 
 
-def _transcode_gds(coder: str) -> bytes:
+def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
     """Rebuild the bundled ZIP-coded fixture with a different node codec.
 
     Streams are re-laid-out block by block: node data payloads are
@@ -127,8 +127,14 @@ def _transcode_gds(coder: str) -> bytes:
             return lzma.compress(raw, format=lzma.FORMAT_XZ)
         return p                # relabel only — payload stays zlib
 
+    geno_sid = None
+    if split_genotype:
+        geno_sid = [d for d, h in data_sids.items()
+                    if h == entries["genotype"]][0]
+
     out = bytearray(data[:G._BLOCK_START])
     pos = G._BLOCK_START
+    tail = None          # (next-pointer patch offset, continuation bytes)
     while pos + 12 <= len(data):
         word = int.from_bytes(data[pos:pos + 6], "little")
         size = word & G._SIZE_MASK
@@ -138,13 +144,24 @@ def _transcode_gds(coder: str) -> bytes:
             content = rewrite_header(content)
         elif sid in data_sids:
             content = recode_payload(content)
-        bsize = 22 + len(content)
-        out += (bsize | G._HEAD_BIT).to_bytes(6, "little")
+        head, rest = content, b""
+        if sid == geno_sid:
+            head, rest = content[:1000], content[1000:]
+        out += ((22 + len(head)) | G._HEAD_BIT).to_bytes(6, "little")
+        nxt_at = len(out)
         out += (0).to_bytes(6, "little")
         out += sid.to_bytes(4, "little")
-        out += len(content).to_bytes(6, "little")
-        out += content
+        out += len(content).to_bytes(6, "little")   # full stream size
+        out += head
+        if rest:
+            tail = (nxt_at, rest)
         pos += size
+    if tail is not None:
+        nxt_at, rest = tail
+        out[nxt_at:nxt_at + 6] = len(out).to_bytes(6, "little")
+        out += (12 + len(rest)).to_bytes(6, "little")   # no head bit
+        out += (0).to_bytes(6, "little")
+        out += rest
     return bytes(out)
 
 
@@ -161,6 +178,16 @@ def test_gds_codec_variants(tmp_path, coder):
     np.testing.assert_array_equal(got.snp_position, ref.snp_position)
     assert list(got.sample_id) == list(ref.sample_id)
     assert list(got.snp_allele) == list(ref.snp_allele)
+
+
+def test_gds_continuation_blocks(tmp_path):
+    """A stream split across chained blocks (head + continuation via the
+    next-pointer) reassembles correctly."""
+    p = tmp_path / "split.gds"
+    p.write_bytes(_transcode_gds("", split_genotype=True))
+    ref = read_gds(GDS, import_chr="")
+    got = read_gds(str(p), import_chr="")
+    np.testing.assert_array_equal(got.genotype, ref.genotype)
 
 
 def test_gds_unknown_codec_raises(tmp_path):
