@@ -195,3 +195,11 @@ def test_gds_unknown_codec_raises(tmp_path):
     p.write_bytes(_transcode_gds("LZ4"))
     with pytest.raises(NotImplementedError, match="LZ4"):
         read_gds(str(p), import_chr="")
+
+
+def test_gds_seq_array_raises(tmp_path):
+    data = open(GDS, "rb").read().replace(b"SNP_ARRAY", b"SEQ_ARRAY")
+    p = tmp_path / "seq.gds"
+    p.write_bytes(data)
+    with pytest.raises(NotImplementedError, match="SEQ_ARRAY"):
+        read_gds(str(p), import_chr="")
