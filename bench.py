@@ -15,9 +15,19 @@ this image's host CPU on the *same exported workload* (see BASELINE.md
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _stage(msg: str) -> None:
+    """Progress to stderr (stdout carries only the final JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
 
 # persistent compilation cache: retries/repeat runs skip the remote-compile
 # cost when the backend supports executable serialization
@@ -79,7 +89,9 @@ def main():
     kw = dict(n_classifiers=n_cls, batch=n_cls, verbose=False,
               with_matching=False, mode="fused", hcap=128, max_steps=192,
               on_overflow="retry")
+    _stage("training warmup (compile)")
     train_parallel(hla, fg, seed=1, **kw)
+    _stage("training warm reps")
     # best-of-5: remote-tunnel dispatch latency varies session to session;
     # the best repetition reflects the device, not the tunnel's mood
     train_s = float("inf")
@@ -88,6 +100,7 @@ def main():
         model = train_parallel(hla, fg, seed=100, **kw)
         train_s = min(train_s, time.time() - t0)
     cls_per_s = n_cls / train_s
+    _stage(f"training done: {cls_per_s:.2f} cls/s")
 
     # ---- prediction throughput (100-classifier published model) ---------
     # optional: skipped when the training portion ate the time budget
@@ -104,14 +117,17 @@ def main():
                                dtype=object),
             snp_id=geno.snp_id, snp_position=geno.snp_position,
             snp_allele=geno.snp_allele, assembly=geno.assembly)
+        _stage("predict warmup (compile)")
         predict(pub, big)
         predict(pub, big)   # second warmup: lazy init fully settled
+        _stage("predict warm reps")
         pred_s = float("inf")
         for rep in range(5):
             t0 = time.time()
             res = predict(pub, big)
             pred_s = min(pred_s, time.time() - t0)
         samp_per_s = big.n_samp / pred_s
+        _stage(f"predict done: {samp_per_s:.0f} samp/s")
         # achieved tensor-FLOP/s in the ensemble kernel vs chip peak:
         # per sample per classifier the matmuls cost
         # 2*(2*H*L + H*H*L + Ap*H*H + Ap*H*Ac) — two genotype projections,
