@@ -25,7 +25,8 @@ EOF_BLOCK = bytes.fromhex(
 def _compress_block(data: bytes, level: int = 6) -> bytes:
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     payload = co.compress(data) + co.flush()
-    bsize = len(payload) + 25 + 1  # header(12) + xtra(6) + crc/isize(8) - 1
+    # BSIZE stores (total block size - 1): header(18) + payload + crc/isize(8)
+    bsize = len(payload) + 18 + 8 - 1
     if bsize >= 65536:
         raise ValueError("BGZF block overflow (incompressible payload)")
     header = struct.pack(
@@ -36,7 +37,7 @@ def _compress_block(data: bytes, level: int = 6) -> bytes:
         6,                       # XLEN
         66, 67,                  # 'B','C'
         2,                       # SLEN
-        bsize)                   # BSIZE - 1 (bsize computed with the -1)
+        bsize)                   # BSIZE field = total block size - 1
     return (header + payload
             + struct.pack("<2I", zlib.crc32(data) & 0xFFFFFFFF,
                           len(data) & 0xFFFFFFFF))

@@ -98,8 +98,14 @@ def _parse_streams(data: bytes) -> dict:
     return streams
 
 
-def _dir_entries(root: bytes) -> list:
-    """(name, node-header stream id) pairs from the root folder stream."""
+def _dir_entries(root: bytes, streams: dict | None = None) -> list:
+    """(name, node-header stream id) pairs from the root folder stream.
+
+    The stream id is read from a fixed offset before the name marker, which
+    is layout-dependent; when ``streams`` is given, entries whose id does
+    not resolve to a parsed stream containing the data/codec markers are
+    dropped so callers fall through to the conversion-guidance error rather
+    than misreading an unfamiliar record layout."""
     entries = []
     pos = 0
     while True:
@@ -112,6 +118,11 @@ def _dir_entries(root: bytes) -> list:
         if i < 14:
             continue
         sid = _u(root[i - 14:i - 10])
+        if streams is not None:
+            hdr = streams.get(sid)
+            if hdr is None or (_DATA_MARKER not in hdr
+                               and _CODER_MARKER not in hdr):
+                continue
         try:
             entries.append((name.decode("ascii"), sid))
         except UnicodeDecodeError:
@@ -121,12 +132,17 @@ def _dir_entries(root: bytes) -> list:
 
 def _file_format(root: bytes) -> str:
     """The FileFormat attribute stored on the root folder."""
-    i = root.find(b"FileFormat")
-    if i < 0:
-        return ""
-    # layout: "FileFormat" [type tag 0x0e] [len u8] [chars]
-    ln = root[i + 11]
-    return root[i + 12:i + 12 + ln].decode("ascii", "replace")
+    # layout: "FileFormat" [type tag 0x0e] [len u8] [chars]; scan past
+    # stray matches (e.g. inside string data) missing the type tag
+    pos = 0
+    while True:
+        i = root.find(b"FileFormat", pos)
+        if i < 0:
+            return ""
+        if i + 12 <= len(root) and root[i + 10] == 0x0E:
+            ln = root[i + 11]
+            return root[i + 12:i + 12 + ln].decode("ascii", "replace")
+        pos = i + 10
 
 
 def _node_info(hdr: bytes):
@@ -174,7 +190,7 @@ def read_gds(path: str, import_chr: str = "xMHC",
         raise NotImplementedError(
             f"GDS FileFormat {fmt!r} is not supported (only SNP_ARRAY); "
             "convert with SeqArray/SNPRelate to VCF or PLINK BED first.")
-    entries = dict(_dir_entries(root))
+    entries = dict(_dir_entries(root, streams))
     missing = [n for n in _EXPECTED if n not in entries]
     if missing:
         raise NotImplementedError(

@@ -284,7 +284,10 @@ class AttrBagModel:
         repeated predict() calls skip the per-classifier packing loop.
         The memo lives in a weak side-table (not __dict__) so model
         copy/reconstruction paths stay unaffected."""
-        key = (hap_bucket, np.dtype(dtype).str, self.n_classifiers)
+        # id-tuple fingerprint invalidates the memo when classifiers are
+        # replaced in place, not only when the count changes
+        key = (hap_bucket, np.dtype(dtype).str,
+               tuple(id(c) for c in self.classifiers))
         cache = _PACK_CACHE.get(self)
         if cache is not None and cache[0] == key:
             return cache[1]

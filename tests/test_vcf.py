@@ -73,3 +73,42 @@ def test_bgzf_multiblock_roundtrip(tmp_path):
     with BgzfWriter(p, mode="wt") as f:
         f.write(payload)
     assert gzip.decompress(open(p, "rb").read()).decode() == payload
+
+
+def test_bgzf_bsize_block_walk(tmp_path):
+    """A spec-conforming reader advances BSIZE+1 bytes per block and must land
+    exactly on the next block's gzip magic (SAM spec 4.1: the BC field stores
+    total block size MINUS 1). Regression for the off-by-one that made BSIZE
+    walks land one byte past each block."""
+    import struct
+    import zlib
+    from hibag_tpu.io.bgzf import BgzfWriter, EOF_BLOCK, MAX_BLOCK, \
+        _compress_block
+
+    # the empty block must be byte-identical to the spec's fixed EOF block
+    assert _compress_block(b"", level=6) == EOF_BLOCK
+
+    p = str(tmp_path / "walk.gz")
+    import numpy as np
+    rng = np.random.default_rng(7)
+    payload = rng.integers(32, 127, size=2 * MAX_BLOCK + 1234,
+                           dtype=np.uint8).tobytes()
+    with BgzfWriter(p) as f:
+        f.write(payload)
+    raw = open(p, "rb").read()
+    pos, out, nblocks = 0, b"", 0
+    while pos < len(raw):
+        assert raw[pos:pos + 4] == b"\x1f\x8b\x08\x04", \
+            f"block {nblocks}: bad magic at offset {pos}"
+        xlen = struct.unpack("<H", raw[pos + 10:pos + 12])[0]
+        extra = raw[pos + 12:pos + 12 + xlen]
+        assert extra[:2] == b"BC"
+        bsize = struct.unpack("<H", extra[4:6])[0]
+        block = raw[pos:pos + bsize + 1]
+        cdata = block[12 + xlen:-8]
+        out += zlib.decompress(cdata, -15)
+        pos += bsize + 1
+        nblocks += 1
+    assert pos == len(raw)
+    assert nblocks == 4  # 3 data blocks + EOF
+    assert out == payload
