@@ -52,10 +52,24 @@ class RRng:
         self.mti = _N  # force twist on first draw
 
     def _twist(self) -> None:
-        mt = self.mt.astype(np.uint64)
-        y = (mt & _UPPER) | (np.roll(mt, -1) & _LOWER)
-        mag = np.where(y & 1, _MATRIX_A, 0).astype(np.uint64)
-        self.mt = ((np.roll(mt, -_M) ^ (y >> 1) ^ mag) & 0xFFFFFFFF).astype(np.uint32)
+        # In-place MT19937 semantics: words at index >= N-M read ALREADY
+        # UPDATED words (n[i] = n[i+M-N] ^ ...), and the final word's pair
+        # partner is the updated n[0]. A naive vectorization over the old
+        # state diverges from R at draw 227 of every twist block
+        # (regression: tests/test_train.py::test_rng_long_stream).
+        o = self.mt.astype(np.uint64)
+        n = np.empty(_N, dtype=np.uint64)
+
+        def tb(a, b):
+            y = (a & _UPPER) | (b & _LOWER)
+            return (y >> 1) ^ np.where(y & 1, _MATRIX_A, 0).astype(np.uint64)
+
+        k = _N - _M                                   # 227
+        n[:k] = o[_M:] ^ tb(o[:k], o[1:k + 1])        # uses old words only
+        n[k:2 * k] = n[:k] ^ tb(o[k:2 * k], o[k + 1:2 * k + 1])
+        n[2 * k:_N - 1] = n[k:_M - 1] ^ tb(o[2 * k:_N - 1], o[2 * k + 1:_N])
+        n[_N - 1] = n[_M - 1] ^ tb(o[_N - 1:_N], n[0:1])[0]
+        self.mt = (n & 0xFFFFFFFF).astype(np.uint32)
         self.mti = 0
 
     def genrand_uint32(self, n: int = 1) -> np.ndarray:

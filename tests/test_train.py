@@ -35,6 +35,52 @@ def test_rng_matches_r():
         r.unif_rand(3), [0.30776611, 0.25767250, 0.55232243], atol=1e-7)
 
 
+def test_rng_long_stream():
+    """RRng matches a scalar in-place MT19937 (R's generator) far past one
+    twist block. Regression: a vectorized twist over the OLD state diverges
+    at draw 227 of every block (in-place MT reads already-updated words for
+    indices >= N-M and the final word pairs with the updated n[0])."""
+    from hibag_tpu.utils.rng import RRng
+    N, M = 624, 397
+    UPPER, LOWER, MATRIX = 0x80000000, 0x7FFFFFFF, 0x9908B0DF
+
+    def scalar_stream(seed, n):
+        s = seed & 0xFFFFFFFF
+        for _ in range(50):
+            s = (69069 * s + 1) & 0xFFFFFFFF
+        mt = []
+        for j in range(N + 1):
+            s = (69069 * s + 1) & 0xFFFFFFFF
+            mt.append(s)
+        mt = mt[1:]
+        mti, out = N, []
+        for _ in range(n):
+            if mti >= N:
+                for kk in range(N - M):
+                    y = (mt[kk] & UPPER) | (mt[kk + 1] & LOWER)
+                    mt[kk] = mt[kk + M] ^ (y >> 1) ^ (MATRIX if y & 1 else 0)
+                for kk in range(N - M, N - 1):
+                    y = (mt[kk] & UPPER) | (mt[kk + 1] & LOWER)
+                    mt[kk] = mt[kk + M - N] ^ (y >> 1) ^ (MATRIX if y & 1 else 0)
+                y = (mt[N - 1] & UPPER) | (mt[0] & LOWER)
+                mt[N - 1] = mt[M - 1] ^ (y >> 1) ^ (MATRIX if y & 1 else 0)
+                mti = 0
+            y = mt[mti]
+            mti += 1
+            y ^= y >> 11
+            y ^= (y << 7) & 0x9D2C5680
+            y ^= (y << 15) & 0xEFC60000
+            y &= 0xFFFFFFFF
+            y ^= y >> 18
+            out.append(y)
+        return out
+
+    for seed in (1, 100):
+        got = RRng(seed).genrand_uint32(2000)
+        want = scalar_stream(seed, 2000)
+        assert [int(x) for x in got] == want
+
+
 def test_bootstrap_counts():
     from hibag_tpu.utils.rng import RRng
     r = RRng(7)
