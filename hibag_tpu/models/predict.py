@@ -33,10 +33,11 @@ from .model import AttrBagModel, IdCache
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_alleles", "vote", "engine", "cchunk"))
+                   static_argnames=("n_alleles", "vote", "engine", "cchunk",
+                                    "f64"))
 def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
                    geno_codes, n_alleles, vote="prob", engine="jnp",
-                   cchunk=8):
+                   cchunk=8, f64=False):
     """One block of samples against the whole ensemble.
 
     hap_bits [C,Hm,L]; hap_freq [C,Hm]; hap_allele [C,Hm]; snp_index [C,L];
@@ -51,6 +52,7 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
     A = n_alleles
     C = hap_bits.shape[0]
     G = C // cchunk
+    acc_dt = jnp.float64 if f64 else jnp.float32
 
     def one_classifier(bits, freq, allele, sidx):
         safe = jnp.maximum(sidx, 0)
@@ -61,13 +63,13 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
         wtot = wsnp.sum()
         nonmiss = (g != GENO_MISSING)
         w = (nonmiss * wsnp[None, :]).sum(-1) / jnp.maximum(wtot, 1)  # [n]
-        w = w.astype(jnp.float32)
+        w = w.astype(acc_dt)
 
         if engine == "pallas":
             from ..ops.scoring_pallas import classifier_posteriors
             res = classifier_posteriors(bits, freq, allele, g, A)
         else:
-            res = posterior_scores(bits, freq, allele, g, A)
+            res = posterior_scores(bits, freq, allele, g, A, f64=f64)
         Q = unordered_from_S(res["S"])                    # [n, A, A]
         total = res["total"]
         log_match = (jnp.log(jnp.maximum(w, 1e-30)) + jnp.log(total)
@@ -85,8 +87,8 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
             jj = jax.lax.broadcasted_iota(jnp.int32, (A, A), 1)
             hit = ((ii == bi[:, None, None]) & (jj == bj[:, None, None])) | \
                   ((ii == bj[:, None, None]) & (jj == bi[:, None, None]))
-            contrib = hit.astype(jnp.float32) * (w > 0)[:, None, None]
-            wadd = (w > 0).astype(jnp.float32)
+            contrib = hit.astype(acc_dt) * (w > 0)[:, None, None]
+            wadd = (w > 0).astype(acc_dt)
         return contrib, wadd, log_match, w
 
     def body(carry, xs):
@@ -98,8 +100,8 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
 
     chunked = tuple(x.reshape((G, cchunk) + x.shape[1:])
                     for x in (hap_bits, hap_freq, hap_allele, snp_index))
-    ens0 = jnp.zeros((n, A, A), jnp.float32)
-    wsum0 = jnp.zeros((n,), jnp.float32)
+    ens0 = jnp.zeros((n, A, A), acc_dt)
+    wsum0 = jnp.zeros((n,), acc_dt)
     (ens, wsum), (log_match, w) = jax.lax.scan(body, (ens0, wsum0), chunked)
     log_match = log_match.reshape(C, n)
     w = w.reshape(C, n)
@@ -225,7 +227,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             block: Optional[int] = None, with_dosage: bool = True,
             with_prob: bool = False, hap_bucket: int = 64,
             engine: str = "auto", type: Optional[str] = None,
-            verbose: bool = False) -> PredictionResult:
+            dtype=np.float32, verbose: bool = False) -> PredictionResult:
     """Impute HLA types for `data` (SNPGenoData or pre-aligned code matrix).
 
     Equivalent of hlaPredict (reference R/HIBAG.R:470-818).
@@ -238,6 +240,9 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     ensemble path — the remote-dispatch round trip costs ~0.25 s, so
     fewer/larger dispatches win until the padded tail dominates — else
     128).
+    dtype: np.float64 selects the reference-precision scan path (requires
+    jax_enable_x64; forces engine="jnp") — used by the reference-parity
+    harness (scripts/parity.py) to match the CPU kernel's f64 posteriors.
     """
     if type is not None:
         if type not in ("response+dosage", "response", "prob",
@@ -245,7 +250,13 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             raise ValueError(f"unknown type {type!r}")
         with_dosage = type == "response+dosage"
         with_prob = type in ("prob", "response+prob")
-    if engine == "auto":
+    f64 = np.dtype(dtype) == np.float64
+    if f64:
+        engine = "jnp"
+        if not jax.config.jax_enable_x64:
+            raise ValueError("dtype=float64 prediction requires "
+                             "jax_enable_x64")
+    elif engine == "auto":
         engine = "jnp" if jax.default_backend() == "cpu" else "pallas"
     from ..data.geno import SNPGenoData, align_to_model
 
@@ -263,7 +274,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         sample_id = np.arange(codes.shape[0]).astype(object)
         info = None
 
-    packed = model.pack(hap_bucket=hap_bucket)
+    packed = model.pack(hap_bucket=hap_bucket,
+                        dtype=np.float64 if f64 else np.float32)
     N = codes.shape[0]
     A = model.n_alleles
     C = model.n_classifiers
@@ -337,7 +349,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         else:
             ens, wsum, log_match, w = _predict_block(
                 hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,
-                cchunk)
+                cchunk, f64)
         lse, wssum = _matching_stats(log_match, w)
         pending.append((start, block - pad, (ens, wsum, lse, wssum)))
         if len(pending) >= MAX_IN_FLIGHT:

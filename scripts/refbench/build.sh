@@ -22,5 +22,9 @@ for src in LibHLA LibHLA_ext_sse2 LibHLA_ext_sse4_2 LibHLA_ext_avx \
 done
 echo "CXX driver.cpp"
 $CXX $FLAGS -c "$HERE/driver.cpp" -o "$BUILD/driver.o"
-$CXX $BUILD/*.o -ltbb -o "$BUILD/refbench"
-echo "built $BUILD/refbench"
+echo "CXX parity.cpp"
+$CXX $FLAGS -c "$HERE/parity.cpp" -o "$BUILD/parity.o"
+LIBOBJS=$(ls "$BUILD"/LibHLA*.o)
+$CXX $LIBOBJS $BUILD/driver.o -ltbb -o "$BUILD/refbench"
+$CXX $LIBOBJS $BUILD/parity.o -ltbb -o "$BUILD/refparity"
+echo "built $BUILD/refbench $BUILD/refparity"
