@@ -32,27 +32,18 @@ from ..ops.scoring import posterior_scores, unordered_from_S
 from .model import AttrBagModel, IdCache
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_alleles", "vote", "engine", "cchunk",
-                                    "f64"))
-def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
-                   geno_codes, n_alleles, vote="prob", engine="jnp",
-                   cchunk=8, f64=False):
-    """One block of samples against the whole ensemble.
+def _one_classifier_fn(geno_codes, snp_weight, n_alleles, vote, engine,
+                       acc_dt):
+    """Per-classifier prediction closure shared by the scan-chunked block
+    path and the mesh-sharded flat-vmap path.
 
-    hap_bits [C,Hm,L]; hap_freq [C,Hm]; hap_allele [C,Hm]; snp_index [C,L];
-    snp_weight [P]; geno_codes [n,P] uint8. C must be a multiple of `cchunk`
-    (callers pad); the scan runs over classifier chunks with an inner vmap
-    so each step launches one batched kernel instead of `cchunk` small ones.
-
-    Returns ens [n,A,A] (weight-normalized ensemble posterior, symmetric
-    unordered convention), wsum [n], log_match [C,n], w [C,n].
+    Returns a function (bits, freq, allele, sidx) ->
+    (contrib [n,A,A], wadd [n], log_match [n], w [n]); padded classifier
+    slots (sidx all -1, freq 0) contribute exactly zero.
     """
     n = geno_codes.shape[0]
     A = n_alleles
-    C = hap_bits.shape[0]
-    G = C // cchunk
-    acc_dt = jnp.float64 if f64 else jnp.float32
+    f64 = acc_dt == jnp.float64
 
     def one_classifier(bits, freq, allele, sidx):
         safe = jnp.maximum(sidx, 0)
@@ -91,6 +82,33 @@ def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
             wadd = (w > 0).astype(acc_dt)
         return contrib, wadd, log_match, w
 
+    return one_classifier
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_alleles", "vote", "engine", "cchunk",
+                                    "f64"))
+def _predict_block(hap_bits, hap_freq, hap_allele, snp_index, snp_weight,
+                   geno_codes, n_alleles, vote="prob", engine="jnp",
+                   cchunk=8, f64=False):
+    """One block of samples against the whole ensemble.
+
+    hap_bits [C,Hm,L]; hap_freq [C,Hm]; hap_allele [C,Hm]; snp_index [C,L];
+    snp_weight [P]; geno_codes [n,P] uint8. C must be a multiple of `cchunk`
+    (callers pad); the scan runs over classifier chunks with an inner vmap
+    so each step launches one batched kernel instead of `cchunk` small ones.
+
+    Returns ens [n,A,A] (weight-normalized ensemble posterior, symmetric
+    unordered convention), wsum [n], log_match [C,n], w [C,n].
+    """
+    n = geno_codes.shape[0]
+    A = n_alleles
+    C = hap_bits.shape[0]
+    G = C // cchunk
+    acc_dt = jnp.float64 if f64 else jnp.float32
+    one_classifier = _one_classifier_fn(geno_codes, snp_weight, A, vote,
+                                        engine, acc_dt)
+
     def body(carry, xs):
         bits, freq, allele, sidx = xs                     # [cchunk, ...]
         contrib, wadd, log_match, w = jax.vmap(one_classifier)(
@@ -117,41 +135,51 @@ def _ru(x, m):
 _PREP_CACHE = IdCache()
 
 
-def _prepare_ensemble(packed, n_alleles):
+def _prepare_ensemble(packed, n_alleles, cpad=0, sharding=None):
     """Device-resident padded ensemble tensors, built ONCE per model (the
     reference's SetHaploAux SoA step, src/LibHLA.cpp:2330-2349); memoized
     on the PackedEnsemble so repeated predict() calls skip the pad +
-    one-hot + host->device upload."""
+    one-hot + host->device upload.
+
+    cpad appends that many all-zero classifier slots (mesh paths pad the
+    classifier axis to the device count); `sharding` device_puts the
+    tensors with the classifier axis sharded."""
+    key = (n_alleles, cpad, None if sharding is None else id(sharding))
     cached = _PREP_CACHE.get(packed)
-    if cached is not None and cached[0] == n_alleles:
+    if cached is not None and cached[0] == key:
         return cached[1]
     hap_bits = np.asarray(packed.hap_bits)
     hap_freq = np.asarray(packed.hap_freq)
     hap_allele = np.asarray(packed.hap_allele)
     C, Hm, L = hap_bits.shape
+    Cp = C + cpad
     Hp = _ru(Hm, 128)
     Ac = _ru(n_alleles, 128)
-    hb = np.zeros((C, Hp, L), np.float32)
-    hb[:, :Hm] = hap_bits
-    W = np.zeros((C, Hp, Ac), np.float32)
+    hb = np.zeros((Cp, Hp, L), np.float32)
+    hb[:C, :Hm] = hap_bits
+    W = np.zeros((Cp, Hp, Ac), np.float32)
     onehot = np.zeros((C, Hm, Ac), np.float32)
     np.put_along_axis(onehot, hap_allele[..., None].astype(np.int64), 1.0,
                       axis=2)
-    W[:, :Hm] = onehot * hap_freq[..., None].astype(np.float32)
-    valid = np.zeros((C, Hp, 1), np.float32)
-    valid[:, :Hm, 0] = hap_freq > 0
-    out = (jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid))
-    _PREP_CACHE.set(packed, (n_alleles, out))
+    W[:C, :Hm] = onehot * hap_freq[..., None].astype(np.float32)
+    valid = np.zeros((Cp, Hp, 1), np.float32)
+    valid[:C, :Hm, 0] = hap_freq > 0
+    if sharding is not None:
+        out = tuple(jax.device_put(jnp.asarray(x), sharding)
+                    for x in (hb, W, valid))
+    else:
+        out = (jnp.asarray(hb), jnp.asarray(W), jnp.asarray(valid))
+    _PREP_CACHE.set(packed, (key, out))
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_alleles",))
-def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
-                       geno_codes, n_alleles):
-    """Whole-ensemble prediction for one sample block via the accumulating
-    Pallas kernel (single launch; classifiers on the fast grid axis).
+def _ens_core(hb, W, valid, snp_index, snp_weight, geno_codes, n_alleles):
+    """Accumulating-ensemble-kernel core over the LOCAL classifier axis.
 
-    hb/W/valid: padded device tensors from _prepare_ensemble."""
+    Returns (ens_raw [n,A,A] — weighted posterior sum over the classifiers
+    present in hb — log_match [C,n], w [C,n]). Shared by the single-device
+    block path and the mesh-sharded path (where the classifier axis is a
+    shard and ens_raw is psum-reduced across devices)."""
     from ..ops.scoring_pallas import ensemble_accumulate_pallas, pick_nb
 
     C, Hp, L = hb.shape
@@ -179,12 +207,82 @@ def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
     ens = ens[:n, :A, :A]
     dmin = dmin[:, :n]
     total = total[:, :n]
-    wsum = w.sum(0)
     log_match = (jnp.log(jnp.maximum(w, 1e-30)) + jnp.log(total)
                  + LOG_MIN_RARE_FREQ * dmin)
     log_match = jnp.where(w > 0, log_match, -jnp.inf)
+    return ens, log_match, w
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
+                       geno_codes, n_alleles):
+    """Whole-ensemble prediction for one sample block via the accumulating
+    Pallas kernel (single launch; classifiers on the fast grid axis).
+
+    hb/W/valid: padded device tensors from _prepare_ensemble."""
+    ens, log_match, w = _ens_core(hb, W, valid, snp_index, snp_weight,
+                                  geno_codes, n_alleles)
+    wsum = w.sum(0)
     ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
     return ens, wsum, log_match, w
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "f64"))
+def _predict_block_flat(hap_bits, hap_freq, hap_allele, snp_index,
+                        snp_weight, geno_codes, n_alleles, vote="prob",
+                        f64=False):
+    """One sample block, flat vmap over the whole classifier axis.
+
+    Mesh path for the scan engine: with the classifier axis sharded over an
+    "ens" mesh, XLA partitions the vmap across devices and lowers the
+    ensemble reductions to all-reduces over ICI — the TPU replacement for
+    the reference's per-worker sample splits in hlaPredict(cl=)
+    (reference R/HIBAG.R:764-807). Same returns as _predict_block."""
+    acc_dt = jnp.float64 if f64 else jnp.float32
+    one = _one_classifier_fn(geno_codes, snp_weight, n_alleles, vote,
+                             "jnp", acc_dt)
+    contrib, wadd, log_match, w = jax.vmap(one)(hap_bits, hap_freq,
+                                                hap_allele, snp_index)
+    ens = contrib.sum(0)
+    wsum = wadd.sum(0)
+    ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
+    return ens, wsum, log_match, w
+
+
+#: (mesh id, n_alleles) -> compiled mesh ensemble-kernel predictor
+_MESH_ENS_CACHE = {}
+
+
+def _predict_block_ens_mesh(mesh, n_alleles):
+    """shard_map'd accumulating-ensemble-kernel predictor for `mesh`.
+
+    Classifier-axis tensors arrive sharded on "ens"; each device runs the
+    Pallas kernel over its classifier shard and the partial weighted
+    posteriors are psum-reduced over ICI. log_match/w stay sharded [C,n]
+    (the matching LSE reduction crosses the mesh inside _matching_stats)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    key = (id(mesh), n_alleles)
+    fn = _MESH_ENS_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("ens"), P("ens"), P("ens"), P("ens"), P(), P()),
+        out_specs=(P(), P(), P("ens"), P("ens")),
+        check_vma=False)  # the inner pallas_call can't annotate vma
+    def run(hb, W, valid, si, sw, geno):
+        ens, log_match, w = _ens_core(hb, W, valid, si, sw, geno, n_alleles)
+        ens = jax.lax.psum(ens, "ens")
+        wsum = jax.lax.psum(w.sum(0), "ens")
+        ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
+        return ens, wsum, log_match, w
+
+    _MESH_ENS_CACHE[key] = run
+    return run
 
 
 @dataclass
@@ -227,7 +325,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             block: Optional[int] = None, with_dosage: bool = True,
             with_prob: bool = False, hap_bucket: int = 64,
             engine: str = "auto", type: Optional[str] = None,
-            dtype=np.float32, verbose: bool = False) -> PredictionResult:
+            dtype=np.float32, mesh=None, devices=None,
+            verbose: bool = False) -> PredictionResult:
     """Impute HLA types for `data` (SNPGenoData or pre-aligned code matrix).
 
     Equivalent of hlaPredict (reference R/HIBAG.R:470-818).
@@ -243,6 +342,11 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     dtype: np.float64 selects the reference-precision scan path (requires
     jax_enable_x64; forces engine="jnp") — used by the reference-parity
     harness (scripts/parity.py) to match the CPU kernel's f64 posteriors.
+    mesh / devices: shard the classifier axis over a jax.sharding.Mesh
+    (axis "ens"; `devices` builds one) — XLA all-reduces the weighted
+    ensemble posterior over ICI, replacing the reference's per-worker
+    splits in hlaPredict(cl=) (R/HIBAG.R:764-807). Composes with block
+    pipelining; single-device behavior is unchanged when omitted.
     """
     if type is not None:
         if type not in ("response+dosage", "response", "prob",
@@ -274,6 +378,12 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         sample_id = np.arange(codes.shape[0]).astype(object)
         info = None
 
+    if mesh is None and devices is not None:
+        from ..parallel.mesh import ensemble_mesh
+        mesh = ensemble_mesh(devices)
+    if mesh is not None and f64:
+        raise ValueError("dtype=float64 prediction is single-device only")
+
     packed = model.pack(hap_bucket=hap_bucket,
                         dtype=np.float64 if f64 else np.float32)
     N = codes.shape[0]
@@ -297,14 +407,41 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     # (batched-vmap variants add layout/gather overhead); C is always
     # divisible by 1, so no classifier padding is needed
     cchunk = 1
-    si = jnp.asarray(packed.snp_index)
-    sw = jnp.asarray(packed.snp_weight.astype(np.int32))
-    if use_ens_kernel:
-        ehb, eW, evalid = _prepare_ensemble(packed, A)
+    mesh_ens_fn = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as MP
+        ndev = int(np.prod(list(mesh.shape.values())))
+        shard_c = NamedSharding(mesh, MP("ens"))
+        repl = NamedSharding(mesh, MP())
+        cpad = _ru(C, ndev) - C
+
+        def _padc(x, fill):
+            x = np.asarray(x)
+            if cpad:
+                x = np.concatenate(
+                    [x, np.full((cpad,) + x.shape[1:], fill, x.dtype)], 0)
+            return jax.device_put(jnp.asarray(x), shard_c)
+
+        si = _padc(packed.snp_index, -1)
+        sw = jax.device_put(jnp.asarray(packed.snp_weight.astype(np.int32)),
+                            repl)
+        if use_ens_kernel:
+            ehb, eW, evalid = _prepare_ensemble(packed, A, cpad=cpad,
+                                                sharding=shard_c)
+            mesh_ens_fn = _predict_block_ens_mesh(mesh, A)
+        else:
+            hb = _padc(packed.hap_bits, 0)
+            hf = _padc(packed.hap_freq, 0)
+            ha = _padc(packed.hap_allele, 0)
     else:
-        hb = jnp.asarray(packed.hap_bits)
-        hf = jnp.asarray(packed.hap_freq)
-        ha = jnp.asarray(packed.hap_allele)
+        si = jnp.asarray(packed.snp_index)
+        sw = jnp.asarray(packed.snp_weight.astype(np.int32))
+        if use_ens_kernel:
+            ehb, eW, evalid = _prepare_ensemble(packed, A)
+        else:
+            hb = jnp.asarray(packed.hap_bits)
+            hf = jnp.asarray(packed.hap_freq)
+            ha = jnp.asarray(packed.hap_allele)
 
     @jax.jit
     def _matching_stats(log_match, w):
@@ -343,7 +480,15 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if pad:
             chunk = np.pad(chunk, ((0, pad), (0, 0)),
                            constant_values=GENO_MISSING)
-        if use_ens_kernel:
+        if mesh is not None:
+            gblock = jax.device_put(jnp.asarray(chunk), repl)
+            if use_ens_kernel:
+                ens, wsum, log_match, w = mesh_ens_fn(
+                    ehb, eW, evalid, si, sw, gblock)
+            else:
+                ens, wsum, log_match, w = _predict_block_flat(
+                    hb, hf, ha, si, sw, gblock, A, vote, f64)
+        elif use_ens_kernel:
             ens, wsum, log_match, w = _predict_block_ens(
                 ehb, eW, evalid, si, sw, jnp.asarray(chunk), A)
         else:

@@ -210,6 +210,11 @@ def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
 #: whole loop in one dispatch
 SEGMENT_STEPS_LARGE = 8
 SEGMENT_SAMPLE_THRESHOLD = 8192
+#: on_overflow="retry" keeps doubling hcap up to this ceiling; each bucket
+#: costs one compile, and 4096 covers the unbounded reference list at the
+#: 10^5-sample scale (the 1e-5 rare floor stops pruning around ~2.5e3
+#: haplotypes there — see COVERAGE.md)
+RETRY_MAX_HCAP = 4096
 
 
 def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
@@ -363,13 +368,25 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     overflow = np.asarray(overflow)
     retry_map = {}
     if overflow.any():
-        if on_overflow == "retry" and hcap < 1024:
+        if on_overflow == "retry" and hcap < RETRY_MAX_HCAP:
             bad = [k for k in range(K) if overflow[k] > 0]
+            retry_ids = [ids[k] for k in bad]
+            retry_mesh = mesh
+            if mesh is not None:
+                # keep the mesh through retries: pad the retry batch to a
+                # mesh multiple by duplicating ids (identical RNG streams
+                # train identical classifiers; extras are dropped) instead
+                # of serializing retry work onto one device
+                pad_n = -len(retry_ids) % mesh.size
+                if pad_n and pad_n < len(retry_ids):
+                    retry_ids = retry_ids + retry_ids[:pad_n]
+                elif pad_n:
+                    retry_mesh = None
             retrained = train_fused_batch(
-                ctx, len(bad), seed, mtry, prune, hcap * 2, 0, max_steps,
-                mesh=None, seg_steps=seg_steps, on_overflow=on_overflow,
-                _ids=[ids[k] for k in bad])
-            retry_map = dict(zip(bad, retrained))
+                ctx, len(retry_ids), seed, mtry, prune, hcap * 2, 0,
+                max_steps, mesh=retry_mesh, seg_steps=seg_steps,
+                on_overflow=on_overflow, _ids=retry_ids)
+            retry_map = dict(zip(bad, retrained[:len(bad)]))
         else:
             import warnings
             warnings.warn(

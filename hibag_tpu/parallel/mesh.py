@@ -90,13 +90,14 @@ def gather_classifiers(local_model, n_classifiers: int):
     from jax.experimental import multihost_utils
     import pickle
     blob = pickle.dumps(local_model.to_hibag_obj()["classifiers"])
-    pad = 16 * 1024 * 1024
-    if len(blob) > pad:
-        raise ValueError("classifier blob exceeds gather buffer")
-    buf = np.zeros(pad, dtype=np.uint8)
-    buf[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
+    # two-phase exchange: gather lengths first, then pad every blob to the
+    # GLOBAL max — no fixed buffer wall, so DRB1-class ensembles with large
+    # haplotype lists gather without a size ceiling
     size = np.array([len(blob)], dtype=np.int64)
     sizes = multihost_utils.process_allgather(size)
+    pad = int(sizes.max())
+    buf = np.zeros(pad, dtype=np.uint8)
+    buf[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
     bufs = multihost_utils.process_allgather(buf)
     all_classifiers = []
     for i in range(jax.process_count()):

@@ -17,6 +17,7 @@ import numpy as np
 def main():
     coordinator, num_procs, proc_id, out = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "host"
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -38,7 +39,7 @@ def main():
     m = train_distributed(t, fg, n_classifiers=4, seed=100, batch=2,
                           verbose=False, coordinator=coordinator,
                           num_processes=num_procs, process_id=proc_id,
-                          mode="host")
+                          mode=mode)
     np.savez(out, n=m.n_classifiers,
              **{f"snp{k}": c.snp_index for k, c in enumerate(m.classifiers)},
              **{f"oob{k}": c.oob_accuracy

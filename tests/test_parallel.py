@@ -59,6 +59,36 @@ def test_sharded_predict_matches_serial(model_list, hapmap_geno):
     np.testing.assert_allclose(tri.T, res.postprob, rtol=2e-4, atol=1e-6)
 
 
+def test_predict_mesh_public_api(model_list, hapmap_geno):
+    """predict(mesh=...) through the public API matches single-device
+    predict bit-for-best-guess and to f32 tolerance in posteriors, for both
+    the scan engine and the shard_map'd ensemble kernel, including a
+    classifier count NOT divisible by the mesh size (padded slots must
+    contribute zero)."""
+    from hibag_tpu.models.model import AttrBagModel
+    from hibag_tpu.models.predict import predict
+    from hibag_tpu.parallel.mesh import ensemble_mesh
+
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    model = model.subset_classifiers(42)   # 42 % 8 != 0 on the virtual mesh
+    mesh = ensemble_mesh()
+    base = predict(model, hapmap_geno, with_prob=True)
+    for engine in ("jnp", "pallas"):
+        res = predict(model, hapmap_geno, mesh=mesh, engine=engine,
+                      with_prob=True)
+        np.testing.assert_array_equal(res.allele1, base.allele1)
+        np.testing.assert_array_equal(res.allele2, base.allele2)
+        np.testing.assert_allclose(res.postprob, base.postprob,
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(res.matching, base.matching, rtol=2e-4)
+    # devices= spelling, majority vote on the mesh
+    resm = predict(model, hapmap_geno, devices=jax.devices(),
+                   vote="majority")
+    basem = predict(model, hapmap_geno, vote="majority")
+    np.testing.assert_array_equal(resm.allele1, basem.allele1)
+    np.testing.assert_array_equal(resm.allele2, basem.allele2)
+
+
 def test_train_distributed_single_process(hla_types, hapmap_geno):
     """Single-process degenerate case of the multi-host path."""
     from hibag_tpu.data.allele import HLATypeTable, flanking_snps
@@ -163,6 +193,58 @@ def test_train_distributed_two_processes(tmp_path):
         snp_mask=np.isin(geno.snp_id.astype(str), ids.astype(str)))
     m1 = train_parallel(t, fg, n_classifiers=4, seed=100, batch=2,
                         verbose=False, with_matching=False, mode="host")
+    for k in range(4):
+        np.testing.assert_array_equal(d0[f"snp{k}"],
+                                      m1.classifiers[k].snp_index)
+
+
+@pytest.mark.slow
+def test_train_distributed_two_processes_fused(tmp_path, hla_types,
+                                               hapmap_geno):
+    """Real 2-process jax.distributed run in FUSED mode: both workers gather
+    the full 4-classifier ensemble, identical to a single-process fused run
+    (per-classifier RNG substreams are topology-invariant)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    outs = [tmp_path / f"f{i}.npz" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "tests/_dist_worker.py", coord, "2", str(i),
+         str(outs[i]), "fused"],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out.decode()
+
+    d0 = np.load(outs[0])
+    d1 = np.load(outs[1])
+    assert int(d0["n"]) == 4 and int(d1["n"]) == 4
+    for k in range(4):
+        np.testing.assert_array_equal(d0[f"snp{k}"], d1[f"snp{k}"])
+
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+    from hibag_tpu.models.train import train_parallel
+    t = HLATypeTable.from_alleles(
+        hla_types["sample.id"], hla_types["A.1"], hla_types["A.2"],
+        locus="A")
+    ids = flanking_snps(hapmap_geno.snp_id, hapmap_geno.snp_position, "A",
+                        500_000, "hg19")
+    fg = hapmap_geno.subset(
+        snp_mask=np.isin(hapmap_geno.snp_id.astype(str), ids.astype(str)))
+    m1 = train_parallel(t, fg, n_classifiers=4, seed=100, batch=2,
+                        verbose=False, with_matching=False, mode="fused")
     for k in range(4):
         np.testing.assert_array_equal(d0[f"snp{k}"],
                                       m1.classifiers[k].snp_index)
