@@ -30,9 +30,14 @@ allele of snp.allele "A/B" and 3 = missing — verified genotype-for-
 genotype against the PLINK copy of the same cohort (tests/test_gds.py:
 100% agreement on ~50k calls).
 
-Codecs: ZIP (zlib), LZMA (xz), and uncompressed nodes are supported; the
-random-access variants (ZIP_RA/LZMA_RA/LZ4...) and SeqArray ("SEQ_ARRAY")
-files raise with conversion guidance (GDS→BED via SNPRelate, or GDS→VCF).
+Codecs: ZIP (zlib), LZMA (xz), uncompressed, and the random-access block
+variants ZIP_RA / LZMA_RA (independently compressed blocks with
+[compressed size, raw size] headers — structure-validated, falling back to
+the conversion-guidance error on mismatch) are supported. SeqArray
+("SEQ_ARRAY") files import through the flat node layout with the
+reference's dosage rules (_read_seq_array); LZ4 and folder-hierarchy
+SeqArray containers raise with conversion guidance (GDS→BED via SNPRelate,
+or GDS→VCF).
 """
 
 from __future__ import annotations
@@ -157,6 +162,60 @@ def _node_info(hdr: bytes):
     return coder, data_sid
 
 
+#: maximum sane raw block size for RA streams (CoreArray caps blocks at 8M)
+_RA_MAX_RAW = 16 * 1024 * 1024
+
+
+def _decode_ra(payload: bytes, name: str, xz: bool) -> bytes:
+    """Random-access (block-compressed) stream: a chain of independently
+    compressed blocks, each prefixed by an 8-byte header
+    [u32le compressed size][u32le raw size].
+
+    The per-block layout is a reconstruction (no gdsfmt is available in
+    this environment to produce an authoritative RA fixture): an optional
+    stream prefix of up to 16 bytes is skipped by scanning for the first
+    offset at which the WHOLE chain validates — every block must
+    decompress to exactly its declared raw size and the headers must
+    chain exactly to the end of the stream. Files that do not match fall
+    through to the conversion-guidance error rather than misparsing
+    (tests/test_gds.py exercises multi-block reassembly on transcoded
+    fixtures)."""
+    def try_chain(off: int):
+        parts = []
+        pos = off
+        n = len(payload)
+        while pos < n:
+            if pos + 8 > n:
+                return None
+            csize = _u(payload[pos:pos + 4])
+            rsize = _u(payload[pos + 4:pos + 8])
+            if not (0 < csize <= n - pos - 8) or not (0 < rsize <= _RA_MAX_RAW):
+                return None
+            blob = payload[pos + 8:pos + 8 + csize]
+            try:
+                if xz:
+                    raw = lzma.LZMADecompressor(
+                        format=lzma.FORMAT_XZ).decompress(blob)
+                else:
+                    raw = zlib.decompressobj().decompress(blob)
+            except Exception:
+                return None
+            if len(raw) != rsize:
+                return None
+            parts.append(raw)
+            pos += 8 + csize
+        return b"".join(parts) if pos == n and parts else None
+
+    for off in range(0, 17):
+        out = try_chain(off)
+        if out is not None:
+            return out
+    raise NotImplementedError(
+        f"GDS node {name!r}: random-access block stream did not match the "
+        "supported layout — convert to VCF/BED first "
+        "(in R: SNPRelate::snpgdsGDS2BED).")
+
+
 def _decode_payload(payload: bytes, coder: str, name: str) -> bytes:
     if coder == "":
         return payload
@@ -166,10 +225,101 @@ def _decode_payload(payload: bytes, coder: str, name: str) -> bytes:
     if coder == "LZMA":
         dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
         return dec.decompress(payload)
+    cu = coder.upper()
+    if cu.startswith("ZIP_RA"):
+        return _decode_ra(payload, name, xz=False)
+    if cu.startswith("LZMA_RA"):
+        return _decode_ra(payload, name, xz=True)
     raise NotImplementedError(
-        f"GDS node {name!r} uses the {coder!r} codec; only ZIP, LZMA and "
-        "uncompressed storage are supported — convert to VCF/BED first "
-        "(in R: SNPRelate::snpgdsGDS2BED).")
+        f"GDS node {name!r} uses the {coder!r} codec; only ZIP, ZIP_RA, "
+        "LZMA, LZMA_RA and uncompressed storage are supported — convert "
+        "to VCF/BED first (in R: SNPRelate::snpgdsGDS2BED).")
+
+
+def _read_nodes(streams: dict, entries: dict, names) -> dict:
+    by_name = {}
+    for name in names:
+        hdr = streams.get(entries[name])
+        if hdr is None:
+            raise ValueError(f"GDS node {name!r} has no header stream")
+        coder, data_sid = _node_info(hdr)
+        if data_sid is None or data_sid not in streams:
+            raise ValueError(f"GDS node {name!r} has no data stream")
+        by_name[name] = _decode_payload(streams[data_sid], coder, name)
+    return by_name
+
+
+_SEQ_EXPECTED = ("sample.id", "variant.id", "position", "chromosome",
+                 "allele", "genotype")
+
+
+def _read_seq_array(streams: dict, root: bytes, import_chr: str,
+                    assembly: str) -> SNPGenoData:
+    """SeqArray "SEQ_ARRAY" import (reference hlaGDS2Geno SeqArray branch,
+    R/DataUtilities.R:860-912).
+
+    Node semantics follow the reference exactly: `allele` holds
+    comma-separated "REF,ALT[,...]" strings and the imported snp.allele is
+    "ALT/REF"; the genotype code counts copies of the FIRST alternative
+    allele ((x[1]==1) + (x[2]==1)), with any missing haplotype making the
+    call missing. The genotype node is 2-bit packed allele indices,
+    ploidy-major within sample within variant, index 3 = missing.
+
+    Only the flat node layout is supported (the same container grammar as
+    SNP_ARRAY files, tested on transcoded fixtures); files using SeqArray's
+    full folder hierarchy (genotype/data + index nodes) raise with
+    conversion guidance."""
+    from .bed import select_region
+
+    entries = dict(_dir_entries(root, streams))
+    missing = [n for n in _SEQ_EXPECTED if n not in entries]
+    if missing:
+        raise NotImplementedError(
+            f"SEQ_ARRAY GDS lacks flat nodes {missing} (found "
+            f"{sorted(entries)}) — folder-hierarchy SeqArray containers "
+            "are not supported; convert to VCF first (in R: "
+            "SeqArray::seqGDS2VCF).")
+    by_name = _read_nodes(streams, entries, _SEQ_EXPECTED)
+
+    sample_id = by_name["sample.id"].decode().rstrip("\x00").split("\x00")
+    variant_id = by_name["variant.id"].decode().rstrip("\x00").split("\x00")
+    position = np.frombuffer(by_name["position"], dtype="<i4")
+    n_samp, n_var = len(sample_id), len(variant_id)
+    chrom_raw = by_name["chromosome"]
+    if len(chrom_raw) == 4 * n_var:
+        chrom = np.frombuffer(chrom_raw, dtype="<i4").astype(str)
+    else:
+        chrom = np.asarray(chrom_raw.decode().rstrip("\x00").split("\x00"))
+    alleles = by_name["allele"].decode().rstrip("\x00").split("\x00")
+    if not (len(position) == len(chrom) == len(alleles) == n_var):
+        raise ValueError("inconsistent variant annotation lengths in "
+                         "SEQ_ARRAY GDS file")
+    ref = [a.split(",")[0] if a else "0" for a in alleles]
+    alt = [a.split(",")[1] if "," in a else "0" for a in alleles]
+    out_allele = [f"{b}/{a}" for a, b in zip(ref, alt)]
+
+    gb = np.frombuffer(by_name["genotype"], dtype=np.uint8)
+    idx = np.stack([(gb >> (2 * k)) & 3 for k in range(4)],
+                   axis=1).reshape(-1)
+    need = n_var * n_samp * 2
+    if len(idx) < need:
+        raise ValueError("genotype payload shorter than 2*n_var*n_samp")
+    hap = idx[:need].reshape(n_var, n_samp, 2)
+    miss = (hap == 3).any(axis=2)
+    geno = (hap == 1).sum(axis=2).astype(np.uint8)
+    geno[miss] = GENO_MISSING
+
+    keep = select_region(chrom.astype(object), position.astype(np.int64),
+                         import_chr, assembly)
+    if keep.sum() == 0:
+        raise ValueError("no variants in the requested region")
+    return SNPGenoData(
+        genotype=geno[keep],
+        sample_id=np.asarray(sample_id, dtype=object),
+        snp_id=np.asarray(variant_id, dtype=object)[keep],
+        snp_position=position.astype(np.int64)[keep],
+        snp_allele=np.asarray(out_allele, dtype=object)[keep],
+        assembly=assembly)
 
 
 def read_gds(path: str, import_chr: str = "xMHC",
@@ -186,10 +336,13 @@ def read_gds(path: str, import_chr: str = "xMHC",
         raise ValueError(f"no root folder stream in GDS file: {path}")
     root = streams[1]
     fmt = _file_format(root)
+    if fmt == "SEQ_ARRAY":
+        return _read_seq_array(streams, root, import_chr, assembly)
     if fmt and fmt != "SNP_ARRAY":
         raise NotImplementedError(
-            f"GDS FileFormat {fmt!r} is not supported (only SNP_ARRAY); "
-            "convert with SeqArray/SNPRelate to VCF or PLINK BED first.")
+            f"GDS FileFormat {fmt!r} is not supported (only SNP_ARRAY and "
+            "SEQ_ARRAY); convert with SeqArray/SNPRelate to VCF or PLINK "
+            "BED first.")
     entries = dict(_dir_entries(root, streams))
     missing = [n for n in _EXPECTED if n not in entries]
     if missing:
@@ -197,15 +350,7 @@ def read_gds(path: str, import_chr: str = "xMHC",
             f"GDS file lacks expected SNP_ARRAY nodes {missing} "
             f"(found {sorted(entries)}); convert to VCF/BED first.")
 
-    by_name = {}
-    for name in _EXPECTED:
-        hdr = streams.get(entries[name])
-        if hdr is None:
-            raise ValueError(f"GDS node {name!r} has no header stream")
-        coder, data_sid = _node_info(hdr)
-        if data_sid is None or data_sid not in streams:
-            raise ValueError(f"GDS node {name!r} has no data stream")
-        by_name[name] = _decode_payload(streams[data_sid], coder, name)
+    by_name = _read_nodes(streams, entries, _EXPECTED)
 
     sample_id = by_name["sample.id"].decode().rstrip("\x00").split("\x00")
     snp_id = by_name["snp.id"].decode().rstrip("\x00").split("\x00")

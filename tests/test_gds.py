@@ -125,6 +125,19 @@ def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
             return raw
         if coder == "LZMA":
             return lzma.compress(raw, format=lzma.FORMAT_XZ)
+        if coder in ("ZIP_ra", "LZMA_ra"):
+            # random-access block chain: [u32 csize][u32 rsize] per block,
+            # with a 4-byte stream prefix to exercise the offset scan
+            out = bytearray(b"\x10\x01\x00\x00")
+            bs = 50_000
+            for i in range(0, len(raw), bs):
+                blk = raw[i:i + bs]
+                cb = (lzma.compress(blk, format=lzma.FORMAT_XZ)
+                      if coder == "LZMA_ra" else zlib.compress(blk))
+                out += len(cb).to_bytes(4, "little")
+                out += len(blk).to_bytes(4, "little")
+                out += cb
+            return bytes(out)
         return p                # relabel only — payload stays zlib
 
     geno_sid = None
@@ -165,10 +178,11 @@ def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
     return bytes(out)
 
 
-@pytest.mark.parametrize("coder", ["", "LZMA"])
+@pytest.mark.parametrize("coder", ["", "LZMA", "ZIP_ra", "LZMA_ra"])
 def test_gds_codec_variants(tmp_path, coder):
-    """Uncompressed and LZMA(xz)-coded node payloads decode identically
-    to the ZIP-coded original."""
+    """Uncompressed, LZMA(xz) and random-access block-coded (ZIP_RA /
+    LZMA_RA, multi-block with a stream prefix) node payloads decode
+    identically to the ZIP-coded original."""
     p = tmp_path / f"variant_{coder or 'raw'}.gds"
     p.write_bytes(_transcode_gds(coder))
 
@@ -197,9 +211,114 @@ def test_gds_unknown_codec_raises(tmp_path):
         read_gds(str(p), import_chr="")
 
 
-def test_gds_seq_array_raises(tmp_path):
+def test_gds_seq_array_wrong_nodes_raises(tmp_path):
+    """A SEQ_ARRAY file without the flat SeqArray node set (e.g. the
+    folder-hierarchy layout) raises with conversion guidance."""
     data = open(GDS, "rb").read().replace(b"SNP_ARRAY", b"SEQ_ARRAY")
     p = tmp_path / "seq.gds"
     p.write_bytes(data)
     with pytest.raises(NotImplementedError, match="SEQ_ARRAY"):
         read_gds(str(p), import_chr="")
+
+
+def _transcode_seq_gds() -> bytes:
+    """Rebuild the bundled SNP_ARRAY fixture as a flat-layout SEQ_ARRAY
+    file: nodes renamed to the SeqArray set, allele strings converted from
+    "A/B" (count of A) to "REF,ALT" = "B,A" (count of first ALT = A), and
+    the genotype node repacked as 2-bit allele-index haplotype pairs
+    (0->(0,0), 1->(1,0), 2->(1,1), missing->(3,3)), ploidy-major."""
+    import zlib
+    import numpy as np
+    from hibag_tpu.io import gds as G
+
+    data = open(GDS, "rb").read()
+    streams = G._parse_streams(data)
+    entries = dict(G._dir_entries(streams[1], streams))
+    data_sid = {}
+    for name, hsid in entries.items():
+        _, dsid = G._node_info(streams[hsid])
+        data_sid[name] = dsid
+
+    renames = {b"snp.id": b"variant.id", b"snp.position": b"position",
+               b"snp.chromosome": b"chromosome", b"snp.allele": b"allele"}
+
+    def rewrite_root(root: bytes) -> bytes:
+        out = bytearray(root)
+        for old, new in renames.items():
+            pat = G._DIR_MARKER + bytes([len(old)]) + old
+            i = bytes(out).find(pat)
+            assert i >= 0, old
+            # entry length u48 sits 25 bytes before the name marker
+            elen = int.from_bytes(out[i - 25:i - 19], "little")
+            out[i - 25:i - 19] = (elen + len(new) - len(old)).to_bytes(
+                6, "little")
+            out[i:i + len(pat)] = G._DIR_MARKER + bytes([len(new)]) + new
+        # root stream's own length prefix
+        out[0:6] = len(out).to_bytes(6, "little")
+        return bytes(out).replace(b"SNP_ARRAY", b"SEQ_ARRAY")
+
+    def recode_allele(raw: bytes) -> bytes:
+        parts = raw.decode().rstrip("\x00").split("\x00")
+        return ("\x00".join(
+            ",".join(reversed(p.split("/"))) for p in parts) + "\x00"
+        ).encode()
+
+    def recode_genotype(raw: bytes) -> bytes:
+        gb = np.frombuffer(raw, dtype=np.uint8)
+        codes = np.stack([(gb >> (2 * k)) & 3 for k in range(4)],
+                         axis=1).reshape(-1)
+        n_var, n_samp = 2348, 165
+        codes = codes[:n_var * n_samp].reshape(n_var, n_samp)
+        hap = np.zeros((n_var, n_samp, 2), np.uint8)
+        hap[codes == 1, 0] = 1
+        hap[codes == 2] = 1
+        hap[codes >= 3] = 3
+        flat = hap.reshape(-1)
+        pad = (-len(flat)) % 4
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+        q = flat.reshape(-1, 4)
+        packed = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4)
+                  | (q[:, 3] << 6)).astype(np.uint8)
+        return packed.tobytes()
+
+    out = bytearray(data[:G._BLOCK_START])
+    pos = G._BLOCK_START
+    while pos + 12 <= len(data):
+        word = int.from_bytes(data[pos:pos + 6], "little")
+        size = word & G._SIZE_MASK
+        sid = int.from_bytes(data[pos + 12:pos + 16], "little")
+        content = data[pos + 22:pos + size]
+        if sid == 1:
+            content = rewrite_root(content)
+        elif sid == data_sid["snp.allele"]:
+            content = zlib.compress(recode_allele(
+                zlib.decompressobj().decompress(content)))
+        elif sid == data_sid["genotype"]:
+            content = zlib.compress(recode_genotype(
+                zlib.decompressobj().decompress(content)))
+        out += ((22 + len(content)) | G._HEAD_BIT).to_bytes(6, "little")
+        out += (0).to_bytes(6, "little")
+        out += sid.to_bytes(4, "little")
+        out += len(content).to_bytes(6, "little")
+        out += content
+        pos += size
+    return bytes(out)
+
+
+def test_gds_seq_array_import(tmp_path):
+    """Flat-layout SEQ_ARRAY import reproduces the SNP_ARRAY genotypes,
+    alleles and annotation exactly (reference dosage rules,
+    R/DataUtilities.R:860-912)."""
+    p = tmp_path / "seqflat.gds"
+    p.write_bytes(_transcode_seq_gds())
+    ref = read_gds(GDS, import_chr="")
+    got = read_gds(str(p), import_chr="")
+    np.testing.assert_array_equal(got.genotype, ref.genotype)
+    np.testing.assert_array_equal(got.snp_position, ref.snp_position)
+    assert list(got.sample_id) == list(ref.sample_id)
+    assert list(got.snp_id) == list(ref.snp_id)
+    assert list(got.snp_allele) == list(ref.snp_allele)
+    # region filtering works on the SeqArray path too
+    got_mhc = read_gds(str(p), import_chr="xMHC")
+    ref_mhc = read_gds(GDS, import_chr="xMHC")
+    np.testing.assert_array_equal(got_mhc.genotype, ref_mhc.genotype)
