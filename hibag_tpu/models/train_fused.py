@@ -55,31 +55,50 @@ class GrowState(NamedTuple):
 
 
 def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
-    """Replicates the reference's running-max candidate scan; returns
-    (min_i, max_acc, min_loss, kill_mask [Cm])."""
+    """The reference's running-max candidate scan (src/LibHLA.cpp:2018-2069)
+    as a CLOSED-FORM parallel reduction; returns
+    (min_i, max_acc, min_loss, kill_mask [Cm]).
+
+    Equivalence to the sequential scan (tested exhaustively against a
+    scalar replica in tests/test_fused.py, ties included):
+    * the running max is a pure max chase, so the final max_acc is
+      max(gmax_acc, max over ok candidates);
+    * any candidate with acc == final max sees a running max <= its acc, so
+      its loss is always the computed loss_c — the winner is the EARLIEST
+      argmin of loss among them (strict-< updates keep the first of equal
+      losses), gated on beating gmin_loss when acc did not improve;
+    * kills: acc < gmax_acc always kills; acc == gmax_acc kills only when
+      no earlier ok candidate exceeded gmax_acc (otherwise the running max
+      has moved past it and its loss reads as 0, and the kill threshold
+      gmin_loss*(1+PRUNE) is never below 0 since -2logLik >= 0) — a prefix
+      OR. The scan's `new_min_i != i` guard is implied: an updater's loss
+      is strictly below gmin_loss and so never above the prune threshold.
+
+    Replacing the O(mtry) sequential scalar scan with this reduction
+    removes ~mtry dependent steps from every fused growth iteration —
+    fixed-cost that dominates at small N where the loop is latency-bound.
+    """
     Cm = acc_c.shape[0]
+    neg = jnp.int32(np.iinfo(np.int32).min + 1)
+    okacc = jnp.where(cand_ok, acc_c, neg)
+    max_acc = jnp.maximum(gmax_acc, jnp.max(okacc))
+    is_best = cand_ok & (acc_c == max_acc)
+    loss_best = jnp.where(is_best, loss_c, jnp.inf)
+    wi = jnp.argmin(loss_best).astype(jnp.int32)   # earliest min on ties
+    wloss = loss_best[wi]
+    has = jnp.any(is_best)
+    win = has & ((max_acc > gmax_acc) | (wloss < gmin_loss))
+    min_i = jnp.where(win, wi, jnp.int32(-1))
+    min_loss = jnp.where(win, wloss, gmin_loss)
 
-    def body(carry, i):
-        max_acc, min_loss, min_i = carry
-        ok = cand_ok[i]
-        acc = acc_c[i]
-        loss = jnp.where(acc >= max_acc, loss_c[i], 0.0)
-        upd1 = ok & (acc > max_acc)
-        upd2 = ok & ~upd1 & (acc == max_acc) & (loss < min_loss)
-        new_min_i = jnp.where(upd1 | upd2, i, min_i)
-        new_min_loss = jnp.where(upd1 | upd2, loss, min_loss)
-        new_max_acc = jnp.where(upd1, acc, max_acc)
-        kill = jnp.where(
-            prune,
-            ok & ((acc < gmax_acc)
-                  | ((acc == gmax_acc)
-                     & (loss > gmin_loss * (1 + PRUNE_RELTOL_LOGLIK))
-                     & (new_min_i != i))),
-            False)
-        return (new_max_acc, new_min_loss, new_min_i), kill
-
-    (max_acc, min_loss, min_i), kills = jax.lax.scan(
-        body, (gmax_acc, gmin_loss, jnp.int32(-1)), jnp.arange(Cm))
+    improver = cand_ok & (acc_c > gmax_acc)
+    earlier_improver = (jnp.cumsum(improver.astype(jnp.int32))
+                        - improver.astype(jnp.int32)) > 0
+    kill = cand_ok & ((acc_c < gmax_acc)
+                      | ((acc_c == gmax_acc) & ~earlier_improver
+                         & (loss_c > gmin_loss
+                            * (1 + PRUNE_RELTOL_LOGLIK))))
+    kills = jnp.where(prune, kill, jnp.zeros(Cm, bool))
     return min_i, max_acc, min_loss, kills
 
 

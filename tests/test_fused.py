@@ -28,6 +28,54 @@ def _synthetic(seed=0, n=32, p=48, n_alleles=4):
     return ctx
 
 
+def test_decide_matches_sequential_scan():
+    """The closed-form _decide reduction is equivalent to the reference's
+    sequential running-max scan (src/LibHLA.cpp:2018-2069) on randomized
+    cases dense with exact acc/loss ties, for both prune modes and both
+    fresh (gmin=1e30) and mid-training carries."""
+    import jax.numpy as jnp
+    from hibag_tpu.constants import PRUNE_RELTOL_LOGLIK
+    from hibag_tpu.models.train_fused import _decide
+
+    def scan_ref(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
+        max_acc, min_loss, min_i = gmax_acc, gmin_loss, -1
+        kills = []
+        for i in range(len(acc_c)):
+            ok = bool(cand_ok[i])
+            acc = int(acc_c[i])
+            loss = float(loss_c[i]) if acc >= max_acc else 0.0
+            upd1 = ok and acc > max_acc
+            upd2 = ok and not upd1 and acc == max_acc and loss < min_loss
+            if upd1 or upd2:
+                min_i, min_loss = i, loss
+            if upd1:
+                max_acc = acc
+            kills.append(prune and ok and (
+                acc < gmax_acc
+                or (acc == gmax_acc
+                    and loss > gmin_loss * (1 + PRUNE_RELTOL_LOGLIK)
+                    and min_i != i)))
+        return min_i, max_acc, min_loss, kills
+
+    rng = np.random.default_rng(0)
+    for case in range(300):
+        m = int(rng.integers(1, 24))
+        # few distinct levels -> many exact ties
+        acc = rng.integers(0, 4, m).astype(np.int32)
+        loss = rng.choice([0.5, 1.0, 1.5, 2.0], m).astype(np.float32)
+        ok = rng.random(m) > 0.25
+        gmax = int(rng.integers(0, 4))
+        gmin = float(rng.choice([1e30, 2.0, 1.0, 0.5]))
+        prune = bool(rng.random() > 0.5)
+        want = scan_ref(ok, acc, loss, gmax, gmin, prune)
+        got = _decide(jnp.asarray(ok), jnp.asarray(acc), jnp.asarray(loss),
+                      jnp.int32(gmax), jnp.float32(gmin), prune)
+        assert int(got[0]) == want[0], (case, want, got)
+        assert int(got[1]) == want[1], (case, want, got)
+        assert float(got[2]) == pytest.approx(want[2]), (case, want, got)
+        assert [bool(x) for x in np.asarray(got[3])] == want[3], case
+
+
 def test_fused_grow_smoke():
     from hibag_tpu.models.train_fused import train_fused_batch
     ctx = _synthetic()
