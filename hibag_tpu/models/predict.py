@@ -173,7 +173,8 @@ def _prepare_ensemble(packed, n_alleles, cpad=0, sharding=None):
     return out
 
 
-def _ens_core(hb, W, valid, snp_index, snp_weight, geno_codes, n_alleles):
+def _ens_core(hb, W, valid, snp_index, snp_weight, geno_codes, n_alleles,
+              vote="prob"):
     """Accumulating-ensemble-kernel core over the LOCAL classifier axis.
 
     Returns (ens_raw [n,A,A] — weighted posterior sum over the classifiers
@@ -203,7 +204,8 @@ def _ens_core(hb, W, valid, snp_index, snp_weight, geno_codes, n_alleles):
 
     ens, dmin, total = ensemble_accumulate_pallas(
         hb, W, valid, gp, wp, Ap,
-        interpret=jax.default_backend() == "cpu")
+        interpret=jax.default_backend() == "cpu",
+        majority=vote == "majority")
     ens = ens[:n, :A, :A]
     dmin = dmin[:, :n]
     total = total[:, :n]
@@ -213,16 +215,23 @@ def _ens_core(hb, W, valid, snp_index, snp_weight, geno_codes, n_alleles):
     return ens, log_match, w
 
 
-@functools.partial(jax.jit, static_argnames=("n_alleles",))
+def _ens_wsum(w, vote):
+    """Ensemble normalizer: classifier weights for probability voting, one
+    vote per contributing classifier for majority voting
+    (reference src/LibHLA.cpp:2460-2476)."""
+    return w.sum(0) if vote == "prob" else (w > 0).astype(w.dtype).sum(0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote"))
 def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
-                       geno_codes, n_alleles):
+                       geno_codes, n_alleles, vote="prob"):
     """Whole-ensemble prediction for one sample block via the accumulating
     Pallas kernel (single launch; classifiers on the fast grid axis).
 
     hb/W/valid: padded device tensors from _prepare_ensemble."""
     ens, log_match, w = _ens_core(hb, W, valid, snp_index, snp_weight,
-                                  geno_codes, n_alleles)
-    wsum = w.sum(0)
+                                  geno_codes, n_alleles, vote)
+    wsum = _ens_wsum(w, vote)
     ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
     return ens, wsum, log_match, w
 
@@ -253,7 +262,7 @@ def _predict_block_flat(hap_bits, hap_freq, hap_allele, snp_index,
 _MESH_ENS_CACHE = {}
 
 
-def _predict_block_ens_mesh(mesh, n_alleles):
+def _predict_block_ens_mesh(mesh, n_alleles, vote="prob"):
     """shard_map'd accumulating-ensemble-kernel predictor for `mesh`.
 
     Classifier-axis tensors arrive sharded on "ens"; each device runs the
@@ -263,7 +272,7 @@ def _predict_block_ens_mesh(mesh, n_alleles):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), n_alleles)
+    key = (id(mesh), n_alleles, vote)
     fn = _MESH_ENS_CACHE.get(key)
     if fn is not None:
         return fn
@@ -275,9 +284,10 @@ def _predict_block_ens_mesh(mesh, n_alleles):
         out_specs=(P(), P(), P("ens"), P("ens")),
         check_vma=False)  # the inner pallas_call can't annotate vma
     def run(hb, W, valid, si, sw, geno):
-        ens, log_match, w = _ens_core(hb, W, valid, si, sw, geno, n_alleles)
+        ens, log_match, w = _ens_core(hb, W, valid, si, sw, geno,
+                                      n_alleles, vote)
         ens = jax.lax.psum(ens, "ens")
-        wsum = jax.lax.psum(w.sum(0), "ens")
+        wsum = jax.lax.psum(_ens_wsum(w, vote), "ens")
         ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
         return ens, wsum, log_match, w
 
@@ -389,7 +399,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     N = codes.shape[0]
     A = model.n_alleles
     C = model.n_classifiers
-    use_ens_kernel = engine == "pallas" and vote == "prob"
+    use_ens_kernel = engine == "pallas"
     if block is None:
         # measured on v5e through the remote tunnel: the dispatch round trip
         # dominates small batches (one block is best <= 8192) and 8192-deep
@@ -428,7 +438,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if use_ens_kernel:
             ehb, eW, evalid = _prepare_ensemble(packed, A, cpad=cpad,
                                                 sharding=shard_c)
-            mesh_ens_fn = _predict_block_ens_mesh(mesh, A)
+            mesh_ens_fn = _predict_block_ens_mesh(mesh, A, vote)
         else:
             hb = _padc(packed.hap_bits, 0)
             hf = _padc(packed.hap_freq, 0)
@@ -490,7 +500,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
                     hb, hf, ha, si, sw, gblock, A, vote, f64)
         elif use_ens_kernel:
             ens, wsum, log_match, w = _predict_block_ens(
-                ehb, eW, evalid, si, sw, jnp.asarray(chunk), A)
+                ehb, eW, evalid, si, sw, jnp.asarray(chunk), A, vote)
         else:
             ens, wsum, log_match, w = _predict_block(
                 hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,

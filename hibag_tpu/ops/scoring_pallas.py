@@ -139,7 +139,7 @@ def _kernel_ens(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
 
 def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
                     wgt_ref, ens_out, dmin_out, total_out, hm_s, pen2_s,
-                    u3_s, *, nb):
+                    u3_s, *, nb, majority=False):
     """Accumulating ensemble kernel: grid (N//nb, C) with classifiers on the
     FAST axis, so the ensemble block stays resident in VMEM while every
     classifier's weighted unordered posterior is added into it.
@@ -224,8 +224,25 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
         # into the first A <= Ap rows / A <= Ac cols), so its sum IS the
         # full normalizer
         total = jnp.sum(S)
-        contrib = S * offdiag * (wgt_ref[0, s, 0]
-                                 / jnp.maximum(total, 1e-30))
+        if majority:
+            # per-classifier best guess, one vote (reference vote_method=2,
+            # src/LibHLA.cpp:2466-2476): first row-major max — the same
+            # tie order as the scan engine's argmax and the reference's
+            # strict-< triangular scan — marked at both mirrors of the
+            # unordered pair (the symmetric-matrix convention)
+            Q = S * offdiag
+            mx = jnp.max(Q)
+            flat = ii * Ac + jj
+            cand = jnp.where(Q >= mx, flat, jnp.int32(1 << 30))
+            midx = jnp.min(cand)
+            bi = midx // Ac
+            bj = midx % Ac
+            hit = (((ii == bi) & (jj == bj))
+                   | ((ii == bj) & (jj == bi))).astype(jnp.float32)
+            contrib = hit * jnp.where(wgt_ref[0, s, 0] > 0, 1.0, 0.0)
+        else:
+            contrib = S * offdiag * (wgt_ref[0, s, 0]
+                                     / jnp.maximum(total, 1e-30))
 
         @pl.when(c == 0)
         def _():
@@ -244,9 +261,11 @@ def pick_nb(H: int) -> int:
     return max(NB, min(64, 4096 // max(H, 1) * 8 // 8))
 
 
-@functools.partial(jax.jit, static_argnames=("a_rows", "nb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_rows", "nb", "interpret",
+                                             "majority"))
 def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
-                               a_rows, nb=None, interpret=False):
+                               a_rows, nb=None, interpret=False,
+                               majority=False):
     """Weighted ensemble posterior in ONE kernel launch.
 
     hap_bits [C,H,L]; W [C,H,Ac]; valid [C,H,1]; g [C,N,L] int8 genotype
@@ -254,7 +273,8 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
     per-sample weights. a_rows: padded allele-row count (multiple of 8).
 
     Returns (ens [N, a_rows, Ac] = sum_c wgt*Q_c/total_c in the symmetric
-    unordered convention, dmin [C,N], total [C,N]).
+    unordered convention — or the one-hot best-guess vote sum when
+    `majority` — dmin [C,N], total [C,N]).
     """
     C, H, L = hap_bits.shape
     Ac = W.shape[2]
@@ -267,7 +287,7 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
 
     grid = (N // nb, C)
     ens, dmin, total = pl.pallas_call(
-        functools.partial(_kernel_ens_acc, nb=nb),
+        functools.partial(_kernel_ens_acc, nb=nb, majority=majority),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, L), lambda i, c: (c, 0, 0),

@@ -116,7 +116,8 @@ def _synthetic_cohort(n_samples: int, locus: str = "A", seed: int = 0):
 
 def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
                  mode: str = "fused", hcap: int = 256,
-                 max_steps: int = 128, seed: int = 100):
+                 max_steps: int = 128, seed: int = 100,
+                 seg_steps=None, on_overflow: str = "warn"):
     """Biobank-scale training: N>=50k resampled samples on one chip with
     bounded memory (pair masks are rematerialized per chunk — persistent
     state is O(C*H), reference streams pair lists src/LibHLA.cpp:1104-1255).
@@ -127,7 +128,8 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
     m = ht.train_parallel(hla, big, n_classifiers=n_classifiers,
                           batch=n_classifiers, seed=seed, verbose=True,
                           with_matching=False, mode=mode, hcap=hcap,
-                          max_steps=max_steps)
+                          max_steps=max_steps, seg_steps=seg_steps,
+                          on_overflow=on_overflow)
     dt = time.time() - t0
     oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
     print(json.dumps({
@@ -135,14 +137,46 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
         "value": round(n_classifiers / dt, 4),
         "unit": "classifiers/s",
         "mode": mode,
+        "hcap": hcap,
         "n_samples": n_samples,
-        "n_snps": int(np.sum([len(c.snp_index) >= 0 for c in m.classifiers])
-                      and m.classifiers[0].hap_bits.shape[1]),
         "n_classifiers": n_classifiers,
         "seconds": round(dt, 2),
         "mean_oob": round(oob, 4),
+        "snp_seqs": [c.snp_index.tolist() for c in m.classifiers],
+        "n_haplo": [int(c.n_haplo) for c in m.classifiers],
     }), flush=True)
     return m
+
+
+def cohort_exact_semantics(n_samples: int = 102_400,
+                           n_classifiers: int = 4):
+    """Exact-list semantics at the top of the reference's cohort range:
+    train at hcap=512 and hcap=1024 (seg_steps=1) and report whether the
+    accepted-SNP sequences — the training DECISIONS, not just OOB — differ
+    (VERDICT r2 item 4; the unbounded reference list is
+    src/LibHLA.cpp:352-578)."""
+    out = {}
+    for hcap in (512, 1024):
+        t0 = time.time()
+        m = train_cohort(n_samples, n_classifiers, hcap=hcap,
+                         max_steps=128, seg_steps=1)
+        out[hcap] = {
+            "seqs": [c.snp_index.tolist() for c in m.classifiers],
+            "n_haplo": [int(c.n_haplo) for c in m.classifiers],
+            "oob": [float(c.oob_accuracy) for c in m.classifiers],
+            "seconds": round(time.time() - t0, 1),
+        }
+    same = [a == b for a, b in zip(out[512]["seqs"], out[1024]["seqs"])]
+    print(json.dumps({
+        "metric": "cohort_exact_semantics_102400",
+        "snp_seq_identical_512_vs_1024": same,
+        "n_haplo_512": out[512]["n_haplo"],
+        "n_haplo_1024": out[1024]["n_haplo"],
+        "oob_512": out[512]["oob"],
+        "oob_1024": out[1024]["oob"],
+        "seconds_512": out[512]["seconds"],
+        "seconds_1024": out[1024]["seconds"],
+    }), flush=True)
 
 
 def train_drb1_500(n_classifiers: int = 500):
@@ -189,3 +223,6 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_176
         mode = sys.argv[3] if len(sys.argv) > 3 else "fused"
         train_cohort(n, mode=mode)
+    elif which == "exact":
+        cohort_exact_semantics(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 102_400)

@@ -73,6 +73,28 @@ def test_predict_hapmap_accuracy(model, hapmap_geno, hla_types):
     np.testing.assert_allclose(res.dosage.sum(axis=0), 2.0, atol=1e-4)
 
 
+def test_predict_majority_pallas_matches_scan(model_list, hapmap_geno):
+    """Majority voting through the accumulating ensemble kernel (in-kernel
+    per-classifier best guess, reference vote_method=2) matches the scan
+    engine's calls and vote counts."""
+    from hibag_tpu.models.model import AttrBagModel
+    from hibag_tpu.models.predict import predict
+
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    a = predict(model, hapmap_geno, vote="majority", engine="jnp",
+                with_prob=True)
+    b = predict(model, hapmap_geno, vote="majority", engine="pallas",
+                with_prob=True)
+    np.testing.assert_array_equal(a.allele1, b.allele1)
+    np.testing.assert_array_equal(a.allele2, b.allele2)
+    # single-classifier best-guess near-ties may flip one vote between the
+    # engines' different f32 summation orders (docs/DEVIATIONS.md #8), so
+    # allow a one-vote (1/C) difference in the normalized vote fractions
+    np.testing.assert_allclose(a.postprob, b.postprob,
+                               atol=1.5 / model.n_classifiers)
+    np.testing.assert_allclose(a.matching, b.matching, rtol=1e-5)
+
+
 def test_predict_majority_vote(model, hapmap_geno, hla_types):
     from hibag_tpu.models.predict import predict
     res = predict(model, hapmap_geno, vote="majority")
