@@ -199,6 +199,45 @@ def test_train_distributed_two_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_gather_large_ensemble_two_processes(tmp_path):
+    """Variable-size classifier gather: a ~66 MiB synthetic ensemble (each
+    process's half ~2x the old fixed 16 MiB buffer) all-gathers across 2
+    real jax.distributed processes, identically on both."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    outs = [tmp_path / f"g{i}.npz" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "tests/_gather_worker.py", coord, "2", str(i),
+         str(outs[i])],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()
+    d0, d1 = np.load(outs[0]), np.load(outs[1])
+    assert int(d0["n"]) == int(d1["n"]) == 64
+    assert int(d0["nbytes"]) > 64 * 1024 * 1024
+    np.testing.assert_array_equal(d0["digest"], d1["digest"])
+    # content is id-deterministic: digest must match a local reconstruction
+    rng = np.random.default_rng(0)
+    f0 = rng.dirichlet(np.ones(8000))
+    assert d0["digest"][0] == pytest.approx(
+        float(np.sum(f0 * np.arange(8000))))
+
+
+@pytest.mark.slow
 def test_train_distributed_two_processes_fused(tmp_path, hla_types,
                                                hapmap_geno):
     """Real 2-process jax.distributed run in FUSED mode: both workers gather
