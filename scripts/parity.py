@@ -225,8 +225,11 @@ def compare_predict(locus: str, target: str = "base") -> dict:
     match = np.frombuffer(raw, "<f8", n, off); off += 8 * n
     ntri = A * (A + 1) // 2
     prob = np.frombuffer(raw, "<f8", n * ntri, off).reshape(n, ntri)
+    off += 8 * n * ntri
+    dosage = np.frombuffer(raw, "<f8", n * A, off).reshape(n, A)
 
-    res = ht.predict(model, geno, dtype=np.float64, with_prob=True)
+    res = ht.predict(model, geno, dtype=np.float64, with_prob=True,
+                     with_dosage=True)
     alleles = np.asarray(model.hla_alleles, dtype=object)
     g1, g2 = alleles[H1], alleles[H2]
     same = int(sum((a == b1 and b == b2) or (a == b2 and b == b1)
@@ -237,6 +240,7 @@ def compare_predict(locus: str, target: str = "base") -> dict:
         "postprob_max_abs_diff": float(np.abs(res.postprob.T - prob).max()),
         "maxprob_max_abs_diff": float(np.abs(res.prob - maxp).max()),
         "matching_max_abs_diff": float(np.abs(res.matching - match).max()),
+        "dosage_max_abs_diff": float(np.abs(res.dosage.T - dosage).max()),
         "best_guess_identical": same, "best_guess_total": int(n),
     }
 

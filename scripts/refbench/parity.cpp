@@ -236,11 +236,12 @@ static int run_predict(int argc, char **argv)
     std::vector<int> oh1(np), oh2(np);
     std::vector<double> maxprob(np), matching(np);
     std::vector<double> prob((size_t)np * ntri);
+    std::vector<double> dosage((size_t)np * n_hla);
     tbb::task_arena arena(1);
     arena.execute([&] {
         model.PredictHLA(pg.data(), np, vote, oh1.data(), oh2.data(),
-                         maxprob.data(), matching.data(), NULL, prob.data(),
-                         false);
+                         maxprob.data(), matching.data(), dosage.data(),
+                         prob.data(), false);
     });
 
     FILE *o = fopen(outp, "wb");
@@ -253,6 +254,7 @@ static int run_predict(int argc, char **argv)
     fwrite(maxprob.data(), 8, np, o);
     fwrite(matching.data(), 8, np, o);
     fwrite(prob.data(), 8, prob.size(), o);
+    fwrite(dosage.data(), 8, dosage.size(), o);
     fclose(o);
     return 0;
 }

@@ -92,3 +92,4 @@ def test_predict_posterior_parity(refparity_bin, locus):
     assert res["postprob_max_abs_diff"] <= 1e-9
     assert res["maxprob_max_abs_diff"] <= 1e-9
     assert res["matching_max_abs_diff"] <= 1e-9
+    assert res["dosage_max_abs_diff"] <= 1e-9
