@@ -171,25 +171,39 @@ def match_pairs_packed(bits, valid, allele, geno_sel, samp_a1, samp_a2):
 # EM over all candidates at once
 # ---------------------------------------------------------------------------
 
-def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
+def _geno_sel_masks(g, dt):
+    """Loop-invariant genotype-selection masks [C, S, 3] in `dt`:
+    m00 = [g==0 or NA], m01 = [g==1 or NA], m11 = [g==2 or NA] — the pair
+    flags of PrepareNewSNP expressed as selectors (hoisted out of the EM
+    while_loop: they never change across iterations)."""
+    is0, is1, is2 = (g == 0), (g == 1), (g == 2)
+    isna = ~(is0 | is1 | is2)
+    return jnp.stack([(is0 | isna).astype(dt), (is1 | isna).astype(dt),
+                      (is2 | isna).astype(dt)], axis=-1)
+
+
+def _em_estep_chunk(fA, fB, mask_f, B_c, m_c, total_n):
     """E+M contributions from one sample chunk.
 
-    fA/fB [C, H]; mask_c [c, H, H] bool; B_c [c]; g_c [C, c] codes.
+    fA/fB [C, H]; mask_f [c, H, H] in the compute dtype; B_c [c];
+    m_c [C, c, 3] genotype-selection masks (_geno_sel_masks).
     Returns (dfA, dfB [C, H], dll [C]) — additive contributions.
     Compute dtype follows fA (f32 normally; f64 for the opt-in parity path).
 
     The per-genotype selections factorize: with q_XY = f_X ⊙ t_Y
     (t_Y[c,s,h] = Σ_j mask[s,h,j]·f_Y[c,j]), the M-step numerators are
-    num0 = fA ⊙ ((is0+isna)·t0 + (is1+isna)·t1) and
-    num1 = fB ⊙ ((is1+isna)·t0 + (is2+isna)·t1), so the weighted sample
-    sums become four [C,c]×[C,c,H] batched reductions and the [C,c,H]
-    q/num tensors are never materialized (HBM traffic, not FLOPs, bounds
-    this kernel).
+    num0 = fA ⊙ (m00·t0 + m01·t1) and num1 = fB ⊙ (m01·t0 + m11·t1), so
+    the weighted sample sums become four [C,c]×[C,c,H] batched reductions
+    and the [C,c,H] q/num tensors are never materialized (HBM traffic, not
+    FLOPs, bounds this kernel). The psum expansion
+    m00·s00 + m01·s01 + m01·s10 + m11·s11 evaluates left-to-right, which
+    reproduces the former nested-where selection BITWISE for every
+    genotype case (0·x terms vanish exactly; the all-flagged NA case keeps
+    the ((s00+s01)+s10)+s11 association).
     """
     C, H = fA.shape
     dt = fA.dtype
     hp = jax.lax.Precision.HIGH
-    mask_f = mask_c.astype(dt)
     # t[b, c, s, h] = sum_j mask[s,h,j] * f_b[c,j]
     fboth = jnp.concatenate([fA, fB], axis=0)              # [2C, H]
     t = jnp.einsum("shj,cj->csh", mask_f, fboth,
@@ -203,17 +217,13 @@ def _em_estep_chunk(fA, fB, mask_c, B_c, g_c, total_n):
     s01 = (fA[:, None, :] * t1).sum(-1)
     s10 = (fB[:, None, :] * t0).sum(-1)
     s11 = (fB[:, None, :] * t1).sum(-1)
-    g = g_c
-    is0, is1, is2 = (g == 0), (g == 1), (g == 2)
-    isna = ~(is0 | is1 | is2)
-    psum = jnp.where(is0, s00,
-           jnp.where(is1, s01 + s10,
-           jnp.where(is2, s11, s00 + s01 + s10 + s11)))
+    m00, m01, m11 = m_c[..., 0], m_c[..., 1], m_c[..., 2]
+    psum = m00 * s00 + m01 * s01 + m01 * s10 + m11 * s11
     psum_safe = jnp.maximum(psum, 1e-37)
     wgt = (B_c[None, :].astype(dt) / psum_safe)             # [C, c]
-    w00 = wgt * (is0 | isna).astype(dt)
-    w01 = wgt * (is1 | isna).astype(dt)
-    w11 = wgt * (is2 | isna).astype(dt)
+    w00 = wgt * m00
+    w01 = wgt * m01
+    w11 = wgt * m11
     dfA = fA * (jnp.einsum("cs,csh->ch", w00, t0, precision=hp)
                 + jnp.einsum("cs,csh->ch", w01, t1, precision=hp)) / total_n
     dfB = fB * (jnp.einsum("cs,csh->ch", w01, t0, precision=hp)
@@ -234,59 +244,65 @@ MASK_MATERIALIZE_ELEMS = 32 * 1024 * 1024
 MASK_PACKED_BUDGET_BYTES = 1280 * 1024 * 1024
 
 
-def _em_estep_packed(fA, fB, packed, B, g_new, total_n):
+def _em_estep_packed(fA, fB, packed, B, m, total_n):
     """One E+M step from a bit-packed pair mask [S, H, H//8] (cohort-scale
     fast path: the mask is EM-loop-invariant; per chunk a shift/and unpack
-    replaces the distance-matmul rematerialization of _em_estep)."""
+    replaces the distance-matmul rematerialization of _em_estep).
+    m: [C, S, 3] genotype-selection masks (_geno_sel_masks)."""
     C, H = fA.shape
     dt = fA.dtype
     S = packed.shape[0]
     c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
     if G == 1:
-        return _em_estep_chunk(fA, fB, _unpack_mask(packed, dt), B, g_new,
+        return _em_estep_chunk(fA, fB, _unpack_mask(packed, dt), B, m,
                                total_n)
-    packed, B, gT = _pad_samples(pad, packed, B, g_new.T)
+    packed, B, mT = _pad_samples(pad, packed, B, m.transpose(1, 0, 2))
 
     def body(carry, xs):
         accA, accB, accL = carry
-        p_c, B_c, gT_c = xs
+        p_c, B_c, mT_c = xs
         dfA, dfB, dll = _em_estep_chunk(fA, fB, _unpack_mask(p_c, dt), B_c,
-                                        gT_c.T, total_n)
+                                        mT_c.transpose(1, 0, 2), total_n)
         return (accA + dfA, accB + dfB, accL + dll), None
 
     (accA, accB, accL), _ = jax.lax.scan(
         body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
                jnp.zeros(C, fA.dtype)),
         (packed.reshape(G, c, H, H // 8), B.reshape(G, c),
-         gT.reshape(G, c, C)))
+         mT.reshape(G, c, C, 3)))
     return accA, accB, accL
 
 
-def _em_estep_masked(fA, fB, mask, B, g_new, total_n):
-    """One E+M step with a precomputed bool[S, H, H] pair mask (the
+def _em_estep_masked(fA, fB, mask, B, m, total_n):
+    """One E+M step with a precomputed pair mask [S, H, H] (the
     small-cohort fast path: the mask is EM-loop-invariant, so computing it
-    once outside the while_loop saves a distance matmul per iteration)."""
+    once outside the while_loop saves a distance matmul per iteration;
+    when the caller pre-casts it to the compute dtype, the in-chunk astype
+    is a no-op and the cast leaves the loop too).
+    m: [C, S, 3] genotype-selection masks (_geno_sel_masks)."""
     C, H = fA.shape
+    dt = fA.dtype
     S = mask.shape[0]
     c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
     if G == 1:
-        return _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
-    mask, B, gT = _pad_samples(pad, mask, B, g_new.T)
+        return _em_estep_chunk(fA, fB, mask.astype(dt), B, m, total_n)
+    mask, B, mT = _pad_samples(pad, mask, B, m.transpose(1, 0, 2))
 
     def body(carry, xs):
         accA, accB, accL = carry
-        mask_c, B_c, gT_c = xs
-        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c, B_c, gT_c.T, total_n)
+        mask_c, B_c, mT_c = xs
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c.astype(dt), B_c,
+                                        mT_c.transpose(1, 0, 2), total_n)
         return (accA + dfA, accB + dfB, accL + dll), None
 
     (accA, accB, accL), _ = jax.lax.scan(
         body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
                jnp.zeros(C, fA.dtype)),
-        (mask.reshape(G, c, H, H), B.reshape(G, c), gT.reshape(G, c, C)))
+        (mask.reshape(G, c, H, H), B.reshape(G, c), mT.reshape(G, c, C, 3)))
     return accA, accB, accL
 
 
-def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
+def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, m,
               total_n):
     """One E+M step over all samples, scanning over sample chunks.
 
@@ -295,29 +311,31 @@ def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, g_new,
     MXU) instead of being carried as a persistent bool[S, H, H] — persistent
     EM state is O(C·H), so cohorts of 10^5 samples fit in HBM (the reference
     streams per-sample pair lists for the same reason,
-    src/LibHLA.cpp:1104-1255)."""
+    src/LibHLA.cpp:1104-1255). m: [C, S, 3] genotype-selection masks."""
     C, H = fA.shape
+    dt = fA.dtype
     S = geno_sel.shape[0]
     # mask chunk f32 [c,H,H] and t [2C,c,H] dominate
     c, G, pad = _chunk_plan(S, max(H * H, 2 * C * H))
     if G == 1:
         mask = _match_chunk(bits, valid, allele, geno_sel, a1, a2)
-        return _em_estep_chunk(fA, fB, mask, B, g_new, total_n)
-    geno_sel, a1, a2, B, gT = _pad_samples(pad, geno_sel, a1, a2, B,
-                                           g_new.T)
+        return _em_estep_chunk(fA, fB, mask.astype(dt), B, m, total_n)
+    geno_sel, a1, a2, B, mT = _pad_samples(pad, geno_sel, a1, a2, B,
+                                           m.transpose(1, 0, 2))
 
     def body(carry, xs):
         accA, accB, accL = carry
-        gs_c, a1_c, a2_c, B_c, gT_c = xs
+        gs_c, a1_c, a2_c, B_c, mT_c = xs
         mask_c = _match_chunk(bits, valid, allele, gs_c, a1_c, a2_c)
-        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c, B_c, gT_c.T, total_n)
+        dfA, dfB, dll = _em_estep_chunk(fA, fB, mask_c.astype(dt), B_c,
+                                        mT_c.transpose(1, 0, 2), total_n)
         return (accA + dfA, accB + dfB, accL + dll), None
 
     (accA, accB, accL), _ = jax.lax.scan(
         body, (jnp.zeros_like(fA), jnp.zeros_like(fB),
                jnp.zeros(C, fA.dtype)),
         (geno_sel.reshape(G, c, -1), a1.reshape(G, c), a2.reshape(G, c),
-         B.reshape(G, c), gT.reshape(G, c, C)))
+         B.reshape(G, c), mT.reshape(G, c, C, 3)))
     return accA, accB, accL
 
 
@@ -355,20 +373,26 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
 
     S, H = geno_sel.shape[0], freq0.shape[0]
+    m = _geno_sel_masks(g_new, freq0.dtype)       # loop-invariant [C, S, 3]
     if S * H * H <= MASK_MATERIALIZE_ELEMS:
         mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+        if S * H * H <= 4 * 1024 * 1024:
+            # small problems are while_loop-overhead-bound: pre-cast the
+            # mask so the per-iteration astype disappears (the f32 copy is
+            # <= 16 MB here; larger sizes keep the 8x-smaller bool)
+            mask = mask.astype(freq0.dtype)
 
         def estep(fA, fB):
-            return _em_estep_masked(fA, fB, mask, B, g_new, total_n)
+            return _em_estep_masked(fA, fB, mask, B, m, total_n)
     elif H % 8 == 0 and S * H * (H // 8) <= MASK_PACKED_BUDGET_BYTES:
         packed = match_pairs_packed(bits, valid, allele, geno_sel, a1, a2)
 
         def estep(fA, fB):
-            return _em_estep_packed(fA, fB, packed, B, g_new, total_n)
+            return _em_estep_packed(fA, fB, packed, B, m, total_n)
     else:
         def estep(fA, fB):
             return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,
-                             B, g_new, total_n)
+                             B, m, total_n)
 
     fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)

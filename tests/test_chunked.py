@@ -116,7 +116,7 @@ def test_packed_mask_roundtrip(problem):
 
 def test_packed_estep_matches_masked(problem):
     from hibag_tpu.models.em import (_em_estep_masked, _em_estep_packed,
-                                     _pack_mask)
+                                     _geno_sel_masks, _pack_mask)
     bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
     valid = jnp.asarray(freq > 0)
     mask = match_pairs(jnp.asarray(bits), valid, jnp.asarray(allele),
@@ -125,10 +125,11 @@ def test_packed_estep_matches_masked(problem):
     rng = np.random.default_rng(7)
     fA = rng.random((C, H)).astype(np.float32) * (freq > 0)
     fB = rng.random((C, H)).astype(np.float32) * (freq > 0)
+    m = _geno_sel_masks(jnp.asarray(g_cand), jnp.float32)
     a = _em_estep_masked(jnp.asarray(fA), jnp.asarray(fB), mask,
-                         jnp.asarray(B), jnp.asarray(g_cand), float(len(B)))
+                         jnp.asarray(B), m, float(len(B)))
     b = _em_estep_packed(jnp.asarray(fA), jnp.asarray(fB), _pack_mask(mask),
-                         jnp.asarray(B), jnp.asarray(g_cand), float(len(B)))
+                         jnp.asarray(B), m, float(len(B)))
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-6, atol=1e-7)
