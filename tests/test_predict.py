@@ -73,6 +73,20 @@ def test_predict_hapmap_accuracy(model, hapmap_geno, hla_types):
     np.testing.assert_allclose(res.dosage.sum(axis=0), 2.0, atol=1e-4)
 
 
+def test_pack_memo_invalidates_on_classifier_change(model_list):
+    """pack() is memoized; replacing a classifier in place must invalidate
+    the memo (ADVICE r2: a count-only key returned stale ensembles)."""
+    from hibag_tpu.models.model import AttrBagModel
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    p1 = model.pack()
+    assert model.pack() is p1          # memo hit
+    model.classifiers = list(model.classifiers)
+    model.classifiers[0] = model.classifiers[1]   # same count, new content
+    p2 = model.pack()
+    assert p2 is not p1
+    np.testing.assert_array_equal(p2.hap_freq[0], p2.hap_freq[1])
+
+
 def test_predict_majority_pallas_matches_scan(model_list, hapmap_geno):
     """Majority voting through the accumulating ensemble kernel (in-kernel
     per-classifier best guess, reference vote_method=2) matches the scan
