@@ -366,21 +366,27 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
 
     Returns (fA [C,H], fB [C,H], loglik [C], n_iter [C]).
     """
-    C = g_new.shape[0]
-    v = valid.astype(freq0.dtype)
-    # DoubleHaplosInitFreq (src/LibHLA.cpp:447-459): p0*f + eps, p1*f + eps
-    fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
-    fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
+    state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
+                             B, g_new, afreq, total_n, reltol=reltol)
+    fA, fB, ll, done, it, tol = _em_segment_run(
+        freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new, total_n,
+        state, jnp.asarray(EM_MAX_ITERATIONS + 1))
+    return fA, fB, ll, it
 
-    S, H = geno_sel.shape[0], freq0.shape[0]
-    m = _geno_sel_masks(g_new, freq0.dtype)       # loop-invariant [C, S, 3]
+
+def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
+                dtype):
+    """The E-step closure with the 3-tier memory strategy (shared by the
+    monolithic and segmented EM drivers; the selected tier depends only on
+    static shapes, so both trace identically)."""
+    S, H = geno_sel.shape[0], bits.shape[0]
     if S * H * H <= MASK_MATERIALIZE_ELEMS:
         mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
         if S * H * H <= 4 * 1024 * 1024:
             # small problems are while_loop-overhead-bound: pre-cast the
             # mask so the per-iteration astype disappears (the f32 copy is
             # <= 16 MB here; larger sizes keep the 8x-smaller bool)
-            mask = mask.astype(freq0.dtype)
+            mask = mask.astype(dtype)
 
         def estep(fA, fB):
             return _em_estep_masked(fA, fB, mask, B, m, total_n)
@@ -393,16 +399,46 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
         def estep(fA, fB):
             return _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2,
                              B, m, total_n)
+    return estep
 
+
+@functools.partial(jax.jit, static_argnames=("reltol",))
+def _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2, B,
+                     g_new, afreq, total_n, reltol=F32_RELTOL):
+    """Iteration 0 of the EM (DoubleHaplosInitFreq + first E/M step) and
+    the first-iteration-anchored tolerance; returns the resumable state
+    (fA, fB, ll, done, it, tol)."""
+    C = g_new.shape[0]
+    v = valid.astype(freq0.dtype)
+    # DoubleHaplosInitFreq (src/LibHLA.cpp:447-459): p0*f + eps, p1*f + eps
+    fA0 = (freq0[None, :] * (1.0 - afreq[:, None]) + EM_INIT_VAL_FRAC) * v
+    fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
+    m = _geno_sel_masks(g_new, freq0.dtype)
+    estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
+                        total_n, freq0.dtype)
     fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)
+    return fA1, fB1, ll1, jnp.zeros(C, bool), jnp.asarray(1), tol
 
-    def cond(state):
-        fA, fB, ll_old, done, it = state
-        return (~jnp.all(done)) & (it <= EM_MAX_ITERATIONS)
 
-    def body(state):
-        fA, fB, ll_old, done, it = state
+@jax.jit
+def _em_segment_run(freq0, valid, bits, allele, geno_sel, a1, a2, B,
+                    g_new, total_n, state, it_end):
+    """Advance the EM while_loop until convergence, EM_MAX_ITERATIONS, or
+    `it_end` (a DYNAMIC scalar: one executable serves any segment length —
+    the host chains segments so no single XLA execution outruns the
+    dispatch environment, cf. train_fused.fused_grow_segment)."""
+    m = _geno_sel_masks(g_new, freq0.dtype)
+    estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
+                        total_n, freq0.dtype)
+    tol = state[5]
+
+    def cond(st):
+        fA, fB, ll_old, done, it = st
+        return (~jnp.all(done)) & (it <= EM_MAX_ITERATIONS) & (it < it_end)
+
+    def body(st):
+        fA, fB, ll_old, done, it = st
         fA_new, fB_new, ll = estep(fA, fB)
         newly_done = jnp.abs(ll - ll_old) <= tol
         keep = done[:, None]
@@ -411,8 +447,31 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
         ll = jnp.where(done, ll_old, ll)
         return fA, fB, ll, done | newly_done, it + 1
 
-    fA, fB, ll, done, it = jax.lax.while_loop(
-        cond, body, (fA1, fB1, ll1, jnp.zeros(C, bool), jnp.asarray(1)))
+    fA, fB, ll, done, it = jax.lax.while_loop(cond, body, state[:5])
+    return fA, fB, ll, done, it, tol
+
+
+def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
+                                a2, B, g_new, afreq, total_n,
+                                reltol=F32_RELTOL, iter_seg=32):
+    """em_all_candidates with at most `iter_seg` EM iterations per device
+    dispatch (host-chained segments, state left on device between them).
+
+    Bitwise-identical to the monolithic version — the while_loop state
+    trajectory is the same; only the dispatch boundaries differ
+    (tests/test_chunked.py::test_em_segmented_matches_monolithic). Use at
+    extreme (N, H) scales where even one EM-to-convergence while_loop
+    exceeds the remote tunnel's single-dispatch ceiling."""
+    state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
+                             B, g_new, afreq, total_n, reltol=reltol)
+    while True:
+        done, it = np.asarray(state[3]), int(state[4])
+        if done.all() or it > EM_MAX_ITERATIONS:
+            break
+        state = _em_segment_run(
+            freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new,
+            total_n, state, jnp.asarray(it + iter_seg))
+    fA, fB, ll, done, it, tol = state
     return fA, fB, ll, it
 
 

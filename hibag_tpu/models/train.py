@@ -15,6 +15,7 @@ consumption order (bootstrap before selection; partial Fisher-Yates draws).
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -28,7 +29,8 @@ from ..constants import (FRACTION_HAPLO, GENO_MISSING, MAXNUM_SNP,
                          STOP_RELTOL_LOGLIK_ADDSNP)
 from ..data.allele import unique_alleles
 from ..utils.rng import RRng
-from .em import em_all_candidates, erase_rare, evaluate_candidates
+from .em import (em_all_candidates, em_all_candidates_segmented,
+                 erase_rare, evaluate_candidates)
 from .model import AttrBagModel, Classifier
 
 
@@ -154,13 +156,18 @@ def _init_haplotype(ctx: TrainingContext, B: np.ndarray) -> _HaploState:
 def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
                     mtry: int, prune: bool = True,
                     verbose_detail: bool = False,
-                    dtype=np.float32) -> Classifier:
+                    dtype=np.float32,
+                    em_iter_seg: Optional[int] = None) -> Classifier:
     """Grow one classifier: greedy forward SNP selection
     (CVariableSelection::Search, src/LibHLA.cpp:1981-2122).
 
     dtype: device compute dtype for EM/eval (np.float64 gives the opt-in
     reference-precision path; requires jax_enable_x64 — used to quantify
     the f32 decision deviation, see docs/DEVIATIONS.md #1).
+    em_iter_seg: EM iterations per device dispatch (None = the whole EM in
+    one dispatch). Set at extreme (N, haplotype-count) scales where a
+    single EM-to-convergence execution outruns the dispatch environment —
+    results are bitwise identical either way.
     """
     N, P = ctx.n_samp, ctx.n_snp
     Np = ctx.n_samp_pad
@@ -216,7 +223,10 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
 
         # EM for all candidates at once (pair matching fused into the
         # E-step chunk scan), then rare-haplotype pruning
-        fA, fB, _, _ = em_all_candidates(
+        em_fn = em_all_candidates if em_iter_seg is None else \
+            functools.partial(em_all_candidates_segmented,
+                              iter_seg=em_iter_seg)
+        fA, fB, _, _ = em_fn(
             freq_j, valid_j, bits_j, allele_j, geno_sel_j, ctx.a1_j,
             ctx.a2_j, Bj, jnp.asarray(g_cand),
             jnp.asarray(afreq.astype(dtype)), float(N),
@@ -703,7 +713,8 @@ def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
           verbose_detail: bool = False, with_matching: bool = True,
           hap_bucket: int = 32,
           assembly: Optional[str] = None,
-          dtype=np.float32) -> AttrBagModel:
+          dtype=np.float32,
+          em_iter_seg: Optional[int] = None) -> AttrBagModel:
     """Build an attribute-bagging model (hlaAttrBagging equivalent,
     reference R/HIBAG.R:48-275).
 
@@ -728,7 +739,8 @@ def train(hla_table, geno_data, n_classifiers: int = 100, mtry="sqrt",
         t0 = time.time()
         B = rng.bootstrap_counts(ctx.n_samp)
         c = grow_classifier(ctx, B, rng, m, prune=prune,
-                            verbose_detail=verbose_detail, dtype=dtype)
+                            verbose_detail=verbose_detail, dtype=dtype,
+                            em_iter_seg=em_iter_seg)
         classifiers.append(c)
         if verbose:
             print(f"[{k + 1}] {time.strftime('%Y-%m-%d %H:%M:%S')}, "

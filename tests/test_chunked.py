@@ -33,6 +33,52 @@ def problem():
     return bits, freq, allele, geno, a1, a2, B, g_cand, afreq
 
 
+def test_em_segmented_matches_monolithic(problem):
+    """Host-chained EM segments (2 iterations per dispatch) are BITWISE
+    identical to the single-dispatch while_loop — the state trajectory is
+    the same, only dispatch boundaries differ."""
+    from hibag_tpu.models.em import em_all_candidates_segmented
+    bits, freq, allele, geno, a1, a2, B, g_cand, afreq = problem
+    args = (jnp.asarray(freq), jnp.asarray(freq > 0), jnp.asarray(bits),
+            jnp.asarray(allele), jnp.asarray(geno), jnp.asarray(a1),
+            jnp.asarray(a2), jnp.asarray(B), jnp.asarray(g_cand),
+            jnp.asarray(afreq), float(len(B)))
+    fA, fB, ll, it = em_all_candidates(*args)
+    sA, sB, sll, sit = em_all_candidates_segmented(*args, iter_seg=2)
+    assert int(it) > 4, "fixture must need several segments"
+    np.testing.assert_array_equal(np.asarray(fA), np.asarray(sA))
+    np.testing.assert_array_equal(np.asarray(fB), np.asarray(sB))
+    np.testing.assert_array_equal(np.asarray(ll), np.asarray(sll))
+    assert int(it) == int(sit)
+
+
+def test_grow_classifier_em_seg_identical(problem):
+    """grow_classifier(em_iter_seg=...) produces the identical classifier."""
+    from hibag_tpu.models.train import TrainingContext, grow_classifier
+    from hibag_tpu.utils.rng import RRng
+    rng = np.random.default_rng(3)
+    n, p, A = 48, 64, 5
+    templates = rng.integers(0, 2, (A, p))
+    x1 = rng.integers(0, A, n)
+    x2 = rng.integers(0, A, n)
+    x1, x2 = np.minimum(x1, x2), np.maximum(x1, x2)
+    geno = (templates[x1] + templates[x2]).astype(np.int8)
+    ctx = TrainingContext(
+        geno=geno, a1=x1.astype(np.int32), a2=x2.astype(np.int32),
+        n_alleles=A,
+        snp_id=np.array([f"rs{i}" for i in range(p)], dtype=object),
+        snp_position=np.arange(p) * 1000,
+        snp_allele=np.array(["A/G"] * p, dtype=object),
+        sample_id=np.array([f"s{i}" for i in range(n)], dtype=object))
+    B = RRng(7).bootstrap_counts(n)
+    c1 = grow_classifier(ctx, B, RRng(9), mtry=8)
+    c2 = grow_classifier(ctx, B, RRng(9), mtry=8, em_iter_seg=3)
+    np.testing.assert_array_equal(c1.snp_index, c2.snp_index)
+    np.testing.assert_array_equal(c1.hap_freq, c2.hap_freq)
+    np.testing.assert_array_equal(c1.hap_bits, c2.hap_bits)
+    assert c1.oob_accuracy == c2.oob_accuracy
+
+
 def _pad(x, n, fill=0):
     pad = [(0, n - x.shape[-1] if x.ndim == 1 else 0)]
     if x.ndim == 1:
