@@ -80,28 +80,32 @@ def classifier_range(n_classifiers: int, process_index: Optional[int] = None,
     return range(lo, min(lo + per, n_classifiers))
 
 
-def gather_classifiers(local_model, n_classifiers: int):
-    """All-gather serialized classifiers across hosts (single-process:
-    identity). Classifier parameter blocks are padded to fixed shapes and
-    exchanged with process_allgather — the TPU-native replacement for the
-    reference's master-side combine (hlaCombineModelObj)."""
-    if jax.process_count() == 1:
-        return local_model
+def allgather_pickled(obj) -> list:
+    """All-gather an arbitrary picklable object across processes with a
+    two-phase variable-size exchange (lengths first, then a max-padded
+    buffer — no fixed size ceiling). Returns the per-process objects."""
     from jax.experimental import multihost_utils
     import pickle
-    blob = pickle.dumps(local_model.to_hibag_obj()["classifiers"])
-    # two-phase exchange: gather lengths first, then pad every blob to the
-    # GLOBAL max — no fixed buffer wall, so DRB1-class ensembles with large
-    # haplotype lists gather without a size ceiling
+    blob = pickle.dumps(obj)
     size = np.array([len(blob)], dtype=np.int64)
     sizes = multihost_utils.process_allgather(size)
     pad = int(sizes.max())
     buf = np.zeros(pad, dtype=np.uint8)
     buf[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
     bufs = multihost_utils.process_allgather(buf)
+    return [pickle.loads(bytes(bufs[i][:int(sizes[i][0])]))
+            for i in range(jax.process_count())]
+
+
+def gather_classifiers(local_model, n_classifiers: int):
+    """All-gather serialized classifiers across hosts (single-process:
+    identity) — the TPU-native replacement for the reference's master-side
+    combine (hlaCombineModelObj)."""
+    if jax.process_count() == 1:
+        return local_model
+    chunks = allgather_pickled(local_model.to_hibag_obj()["classifiers"])
     all_classifiers = []
-    for i in range(jax.process_count()):
-        chunk = pickle.loads(bytes(bufs[i][:int(sizes[i][0])]))
+    for chunk in chunks:
         all_classifiers.extend(chunk)
     obj = local_model.to_hibag_obj()
     obj["classifiers"] = all_classifiers[:n_classifiers]
@@ -109,6 +113,53 @@ def gather_classifiers(local_model, n_classifiers: int):
     merged = AttrBagModel.from_hibag_obj(obj, locus=local_model.locus)
     merged.sample_id = local_model.sample_id
     return merged
+
+
+def sample_range(n_samples: int, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None) -> range:
+    """This host's contiguous sample share for distributed prediction."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = (n_samples + pc - 1) // pc
+    lo = pi * per
+    return range(lo, min(lo + per, n_samples))
+
+
+def predict_distributed(model, data, coordinator: Optional[str] = None,
+                        num_processes: Optional[int] = None,
+                        process_id: Optional[int] = None, **kwargs):
+    """Multi-host prediction: each process imputes its contiguous sample
+    share on its local devices, results all-gather, and every process
+    returns the FULL cohort's PredictionResult — the reference's
+    hlaPredict(cl=) worker split + master merge (R/HIBAG.R:764-807) as a
+    collective. Single-process: equivalent to predict().
+
+    kwargs pass through to predict() (vote, engine, mesh, type, ...).
+    """
+    from ..models.predict import PredictionResult, predict
+    pi, pc = distributed_init(coordinator, num_processes, process_id)
+    if pc == 1:
+        return predict(model, data, **kwargs)
+    rng = sample_range(data.n_samp, pi, pc)
+    local = predict(model, data.subset(samp_mask=np.asarray(rng)), **kwargs)
+    parts = allgather_pickled({
+        "sample_id": local.sample_id, "allele1": local.allele1,
+        "allele2": local.allele2, "prob": local.prob,
+        "matching": local.matching, "dosage": local.dosage,
+        "postprob": local.postprob})
+
+    def cat(key, axis=0):
+        vals = [p[key] for p in parts]
+        if any(v is None for v in vals):
+            return None
+        return np.concatenate(vals, axis=axis)
+
+    return PredictionResult(
+        sample_id=cat("sample_id"), allele1=cat("allele1"),
+        allele2=cat("allele2"), prob=cat("prob"), matching=cat("matching"),
+        dosage=cat("dosage", axis=1), postprob=cat("postprob", axis=1),
+        hla_alleles=local.hla_alleles, locus=local.locus,
+        match_info=local.match_info)
 
 
 # ---------------------------------------------------------------------------

@@ -257,10 +257,40 @@ def compare_rng(seed: int = 100, n: int = 5000) -> dict:
             "identical": bool(np.array_equal(ref, ours))}
 
 
+def sweep(loci=("A", "B", "C", "DRB1"), seeds=(100, 101, 102),
+          ncls: int = 2, target: str = "base") -> dict:
+    """Broad trajectory-parity sweep (the statistic DEVIATIONS.md #3 and
+    tests/test_refparity.py cite). Writes docs/PARITY_SWEEP.json."""
+    rows = []
+    for locus in loci:
+        for seed in seeds:
+            r = compare_train(locus, seed, ncls, target)
+            for k, c in enumerate(r["classifiers"]):
+                rows.append({"locus": locus, "seed": seed, "classifier": k,
+                             **c})
+            print(json.dumps(rows[-ncls:]), file=sys.stderr, flush=True)
+    full = [r for r in rows if r["snpidx_equal"]]
+    out = {
+        "target": target, "ncls_per_seed": ncls,
+        "n_combos": len(rows),
+        "n_full_trajectory_identical": len(full),
+        "full_all_hapset_equal": all(r.get("hapset_equal") for r in full),
+        "full_all_acc_equal": all(r.get("acc_equal") for r in full),
+        "full_max_freq_abs_diff": max(
+            (r.get("freq_max_abs_diff", 0.0) for r in full), default=None),
+        "prefix_lengths": [r["common_prefix"] for r in rows],
+        "rows": rows,
+    }
+    path = os.path.join(REPO, "docs", "PARITY_SWEEP.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main(argv):
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["train", "predict", "rng"])
+    ap.add_argument("mode", choices=["train", "predict", "rng", "sweep"])
     ap.add_argument("--locus", default="A")
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--ncls", type=int, default=2)
@@ -273,6 +303,9 @@ def main(argv):
         res = compare_train(args.locus, args.seed, args.ncls, args.target)
     elif args.mode == "predict":
         res = compare_predict(args.locus, args.target)
+    elif args.mode == "sweep":
+        res = dict(sweep(ncls=args.ncls, target=args.target))
+        res.pop("rows", None)
     else:
         res = compare_rng(args.seed)
     print(json.dumps(res))

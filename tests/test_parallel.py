@@ -199,6 +199,52 @@ def test_train_distributed_two_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_predict_distributed_two_processes(tmp_path, model_list,
+                                           hapmap_geno):
+    """2-process sample-split prediction (hlaPredict(cl=) semantics): both
+    processes gather the full cohort, identical to single-process
+    predict()."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    outs = [tmp_path / f"pd{i}.npz" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "tests/_predict_dist_worker.py", coord, "2",
+         str(i), str(outs[i])],
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode()
+
+    from hibag_tpu.models.model import AttrBagModel
+    from hibag_tpu.models.predict import predict
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    ref = predict(model, hapmap_geno, with_prob=True)
+    for o in outs:
+        d = np.load(o, allow_pickle=True)
+        assert list(d["sample_id"]) == [str(s) for s in ref.sample_id]
+        np.testing.assert_array_equal(d["allele1"],
+                                      ref.allele1.astype(str))
+        np.testing.assert_array_equal(d["allele2"],
+                                      ref.allele2.astype(str))
+        np.testing.assert_allclose(d["prob"], ref.prob, rtol=1e-6)
+        np.testing.assert_allclose(d["postprob"], ref.postprob, rtol=1e-5,
+                                   atol=1e-7)
+
+
+@pytest.mark.slow
 def test_gather_large_ensemble_two_processes(tmp_path):
     """Variable-size classifier gather: a ~66 MiB synthetic ensemble (each
     process's half ~2x the old fixed 16 MiB buffer) all-gathers across 2
