@@ -180,7 +180,7 @@ def main():
 
         # ---- cohort-scale predict (block=8192 pipelined path) -----------
         if time.time() - T_START < DEADLINE_S:
-            creps = 410                       # 24,600 samples
+            creps = 854                       # 51,240 samples (config[3])
             cohort = hibag_tpu.SNPGenoData(
                 genotype=np.tile(geno.genotype, (1, creps)),
                 sample_id=np.array(

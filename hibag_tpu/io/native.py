@@ -49,6 +49,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hibag_snp_stats.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.hibag_vcf_gt_codes.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.hibag_vcf_gt_codes.restype = ctypes.c_int64
         _LIB = lib
     except OSError:
         _LIB = None
@@ -117,3 +121,19 @@ def snp_stats(geno: np.ndarray, n_threads: int = 0):
     with np.errstate(invalid="ignore"):
         freq = np.where(nv > 0, cnt / (2.0 * nv), 0.0)
     return freq, 1.0 - nv / N
+
+
+def vcf_gt_codes(cells: bytes, gt_index: int, n_samples: int):
+    """Native GT-field parse of one VCF data line's sample region into
+    REF-allele-count codes (3 = missing); None when the native lib is
+    absent (callers fall back to the Python loop)."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(n_samples, dtype=np.uint8)
+    n = lib.hibag_vcf_gt_codes(cells, len(cells), gt_index,
+                               _ptr(out), n_samples)
+    if n != n_samples:
+        return None
+    return out

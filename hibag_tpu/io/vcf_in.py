@@ -24,6 +24,8 @@ def read_vcf(path: str, import_chr: str = "xMHC", assembly: str = "hg19",
     """Read biallelic SNP genotypes from a VCF(.gz) file."""
     from .bed import select_region
 
+    from .native import vcf_gt_codes
+
     opener = gzip.open if path.endswith(".gz") else open
     sample_id: Optional[list] = None
     snp_id, pos, chrom, allele, rows = [], [], [], [], []
@@ -36,10 +38,13 @@ def read_vcf(path: str, import_chr: str = "xMHC", assembly: str = "hg19",
                 continue
             if sample_id is None:
                 raise ValueError("VCF has no #CHROM header line")
-            parts = ln.rstrip("\n").split("\t")
+            # split only the 9 fixed columns; the (possibly huge) sample
+            # region stays one string for the native parser
+            parts = ln.rstrip("\n").split("\t", 9)
             if len(parts) < 10:
                 continue
-            c, p, vid, ref, alt = parts[0], parts[1], parts[2], parts[3], parts[4]
+            c, p, vid, ref, alt = (parts[0], parts[1], parts[2], parts[3],
+                                   parts[4])
             if "," in alt:        # multi-allelic: skip (biallelic SNPs only)
                 continue
             if len(ref) != 1 or len(alt) != 1 or ref == "." or alt == ".":
@@ -49,20 +54,25 @@ def read_vcf(path: str, import_chr: str = "xMHC", assembly: str = "hg19",
                 gt_i = fmt.index("GT")
             except ValueError:
                 continue
-            g = np.full(len(sample_id), GENO_MISSING, dtype=np.uint8)
-            for j, cell in enumerate(parts[9:]):
-                gt = cell.split(":")[gt_i] if cell not in (".", "") else "."
-                gt = gt.replace("|", "/")
-                if gt in (".", "./.", "."):
-                    continue
-                try:
-                    a_alleles = [int(x) for x in gt.split("/") if x != "."]
-                except ValueError:
-                    continue
-                if not a_alleles:
-                    continue
-                # count REF (allele 0) copies; haploid counts once
-                g[j] = sum(1 for x in a_alleles if x == 0)
+            g = vcf_gt_codes(parts[9].encode(), gt_i, len(sample_id))
+            if g is None:
+                # Python fallback (no native lib)
+                g = np.full(len(sample_id), GENO_MISSING, dtype=np.uint8)
+                for j, cell in enumerate(parts[9].split("\t")):
+                    gt = cell.split(":")[gt_i] if cell not in (".", "") \
+                        else "."
+                    gt = gt.replace("|", "/")
+                    if gt in (".", "./."):
+                        continue
+                    try:
+                        a_alleles = [int(x) for x in gt.split("/")
+                                     if x != "."]
+                    except ValueError:
+                        continue
+                    if not a_alleles:
+                        continue
+                    # count REF (allele 0) copies, capped at diploid
+                    g[j] = min(sum(1 for x in a_alleles if x == 0), 2)
             chrom.append(c.removeprefix("chr"))
             pos.append(int(p))
             snp_id.append(vid if vid not in (".", "") else f"{c}:{p}")

@@ -116,6 +116,52 @@ void hibag_pack_haplo(const char* strs, int64_t n_haplo, int64_t n_snp,
     }
 }
 
+// Parse the sample columns of one VCF data line into REF-allele counts.
+//   cells:    pointer to the first sample column (the byte after the
+//             FORMAT field's tab), tab-separated, ends at len
+//   gt_index: 0-based position of GT within the colon-separated FORMAT
+//   out:      [n_samples] uint8 filled with 0/1/2 (copies of REF, capped
+//             at 2) or 3 = missing ('.' alleles are skipped; a cell with
+//             no numeric allele is missing — matching io/vcf_in.py's
+//             Python fallback exactly)
+// Returns the number of cells parsed (for validation against n_samples).
+int64_t hibag_vcf_gt_codes(const char* cells, int64_t len, int32_t gt_index,
+                           uint8_t* out, int64_t n_samples) {
+    const char* p = cells;
+    const char* end = cells + len;
+    int64_t s = 0;
+    while (s < n_samples && p <= end) {
+        // locate the GT field within this cell
+        int colon = 0;
+        while (colon < gt_index && p < end && *p != '\t') {
+            if (*p == ':') colon++;
+            p++;
+        }
+        int refcnt = 0, seen = 0;
+        if (colon == gt_index) {
+            while (p < end && *p != '\t' && *p != ':') {
+                char c = *p;
+                if (c >= '0' && c <= '9') {
+                    int v = 0;
+                    while (p < end && *p >= '0' && *p <= '9') {
+                        v = v * 10 + (*p - '0');
+                        p++;
+                    }
+                    seen++;
+                    if (v == 0) refcnt++;
+                } else {
+                    p++;  // '.', '/', '|'
+                }
+            }
+        }
+        out[s++] = seen ? (uint8_t)(refcnt > 2 ? 2 : refcnt) : (uint8_t)3;
+        // skip the rest of the cell
+        while (p < end && *p != '\t') p++;
+        p++;  // the tab (or one past end)
+    }
+    return s;
+}
+
 // Per-SNP allele frequency and missing rate over an int8 code matrix
 // geno [P, N]; outputs freq[P], miss[P].
 void hibag_snp_stats(const int8_t* geno, int64_t p, int64_t n,

@@ -70,3 +70,25 @@ def test_vcf_predict_roundtrip(tmp_path, model_list, hapmap_geno):
     # allele-order flip is resolved by the matching layer -> identical calls
     np.testing.assert_array_equal(res_vcf.allele1, res_ref.allele1)
     np.testing.assert_array_equal(res_vcf.allele2, res_ref.allele2)
+
+
+def test_native_gt_parser_matches_python(tmp_path):
+    """The native GT parser and the Python fallback agree on tricky cells:
+    phasing, haploid calls, partial missing, multi-field FORMAT, '.'."""
+    from hibag_tpu.io.native import get_lib, vcf_gt_codes
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native lib not built")
+
+    cells = ["0/0", "0|1", "1/1", "./.", ".", "0", "1", "./1", "0/.",
+             "0/1:35:99", "1|1:2", ".:.", "0/0/0", "12/0", "0/12"]
+    want = [2, 1, 0, 3, 3, 1, 0, 0, 1, 1, 0, 3, 2, 1, 1]
+    region = "\t".join(cells).encode()
+    got = vcf_gt_codes(region, 0, len(cells))
+    assert got is not None
+    assert got.tolist() == want
+
+    # GT not the first FORMAT field
+    cells2 = ["99:0/1", "12:1|1", "5:./."]
+    got2 = vcf_gt_codes("\t".join(cells2).encode(), 1, len(cells2))
+    assert got2.tolist() == [1, 0, 3]
