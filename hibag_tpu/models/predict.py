@@ -454,23 +454,30 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             ha = jnp.asarray(packed.hap_allele)
 
     @jax.jit
-    def _matching_stats(log_match, w):
-        """Per-sample matching reduction on DEVICE: pulling the [C, n]
-        matrices through the remote tunnel costs more than the kernel at
-        cohort scale. Log-sum-exp keeps tiny likelihoods (< f32 subnormal
-        range as plain exp) exact to f32 log precision."""
+    def _matching_stats(ens, wsum, log_match, w):
+        """Per-sample matching reduction on DEVICE, and all block outputs
+        PACKED into one [n, A*A+3] buffer: pulling the [C, n] matrices —
+        or even four separate result arrays — through the remote tunnel
+        costs a round trip apiece, which dominates small batches. Log-sum-
+        exp keeps tiny likelihoods (< f32 subnormal range as plain exp)
+        exact to f32 log precision."""
         m = jnp.max(log_match, axis=0)                        # [n]
         safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
         s = jnp.exp(log_match - safe_m[None, :]).sum(axis=0)
         lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
-        return lse, w.sum(axis=0)
+        wssum = w.sum(axis=0)
+        n = wsum.shape[0]
+        dt = ens.dtype
+        return jnp.concatenate(
+            [ens.reshape(n, -1), wsum[:, None].astype(dt),
+             lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
 
     def _finalize(start, n_eff, out):
-        ens, wsum, lse, wssum = out
-        ens = np.asarray(ens, dtype=np.float64)
-        wsum = np.asarray(wsum, dtype=np.float64)
-        lse = np.asarray(lse, dtype=np.float64)               # [n]
-        wssum = np.asarray(wssum, dtype=np.float64)
+        buf = np.asarray(out, dtype=np.float64)   # ONE device pull
+        ens = buf[:, :A * A].reshape(-1, A, A)
+        wsum = buf[:, A * A]
+        lse = buf[:, A * A + 1]
+        wssum = buf[:, A * A + 2]
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             matching = np.where(wssum > 0, np.exp(lse) / wssum, np.nan)
         ens_all[start:start + n_eff] = ens[:n_eff]
@@ -505,8 +512,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             ens, wsum, log_match, w = _predict_block(
                 hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,
                 cchunk, f64)
-        lse, wssum = _matching_stats(log_match, w)
-        pending.append((start, block - pad, (ens, wsum, lse, wssum)))
+        packed_out = _matching_stats(ens, wsum, log_match, w)
+        pending.append((start, block - pad, packed_out))
         if len(pending) >= MAX_IN_FLIGHT:
             _finalize(*pending.pop(0))
     for item in pending:
