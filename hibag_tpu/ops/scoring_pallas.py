@@ -139,7 +139,7 @@ def _kernel_ens(hb_ref, w_ref, valid_ref, alpha_ref, u_ref, m1_ref,
 
 def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
                     wgt_ref, ens_out, dmin_out, total_out, hm_s, pen2_s,
-                    u3_s, *, nb, majority=False):
+                    u3_s, *, nb, majority=False, cb=1):
     """Accumulating ensemble kernel: grid (N//nb, C) with classifiers on the
     FAST axis, so the ensemble block stays resident in VMEM while every
     classifier's weighted unordered posterior is added into it.
@@ -158,101 +158,112 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
     (src/LibHLA_ext_avx512vpopcnt.cpp:96-210)."""
     c = pl.program_id(1)
     H = hb_ref.shape[1]
-    hb = hb_ref[0]                              # [H, L]
-    w = w_ref[0]                                # [H, Ac]
-    invalid = 1.0 - valid_ref[0]                # [H, 1]
-    inv_row = invalid.T                         # [1, H] (one relayout/step)
-    Ac = w.shape[1]
+    Ac = w_ref.shape[2]
     Ap = ens_out.shape[1]
-    hb16 = hb.astype(jnp.bfloat16)
-
-    # genotype-code decomposition (ops/scoring.py geno_coefficients) done
-    # in-kernel from the int8 block: 1 byte/SNP of HBM traffic instead of
-    # 9 (f32 u + f32 m1 + alpha); widened to i32 in VMEM — Mosaic has no
-    # 8-bit vector compare on this target
-    g = g_ref[0].astype(jnp.int32)              # [nb, L]
-    is1 = (g == 1)
-    u = ((g == 0).astype(jnp.float32) - is1.astype(jnp.float32)
-         - (g == 2).astype(jnp.float32))        # [nb, L]
-    m1 = is1.astype(jnp.float32)
-    alpha = (is1.astype(jnp.float32)
-             + 2.0 * (g == 2).astype(jnp.float32)).sum(
-                 axis=1, keepdims=True)         # [nb, 1]
-    # v in BOTH orientations via two cheap matmuls: a column slice of v and
-    # a row slice of v2 are layout-natural, avoiding a per-sample
-    # cross-lane transpose of v[:, s]
-    v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)   # [H, nb]
-    v2 = jnp.dot(u, hb.T, preferred_element_type=jnp.float32)  # [nb, H]
-
-    # cross-distances for all nb samples in ONE MXU pass (bf16 exact)
-    for s in range(nb):
-        hm_s[pl.ds(s * H, H), :] = (hb * m1[s, :][None, :]).astype(
-            jnp.bfloat16)
-    cross = jnp.dot(hm_s[:], hb16.T,
-                    preferred_element_type=jnp.float32)   # [nb*H, H]
-
-    for s in range(nb):
-        D = (alpha[s, 0] + v[:, s:s + 1] + v2[s:s + 1, :]
-             + 2.0 * cross[s * H:(s + 1) * H, :]
-             + BIG * invalid + BIG * inv_row)
-        dmin = jnp.min(D)
-        # pen_s is symmetric, so storing the block at a column offset IS the
-        # transposed layout the left contraction wants
-        pen2_s[:, pl.ds(s * H, H)] = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))
-        dmin_out[0, pl.ds(s, 1), :] = dmin.reshape(1, 1)
-
-    # left contraction for ALL samples at once: [Ap, H] x [H, nb*H]
-    wT = w.T[:Ap, :]                                      # [Ap, H]
-    U2 = jnp.dot(wT, pen2_s[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)     # [Ap, nb*H]
-    # regroup [Ap, nb*H] -> [nb*Ap, H] (nb tiny block copies), then the
-    # right contraction is one matmul whose output rows are already in
-    # the [nb, Ap, Ac] ensemble-block layout
-    for s in range(nb):
-        u3_s[pl.ds(s * Ap, Ap), :] = U2[:, s * H:(s + 1) * H]
-    S_all = jnp.dot(u3_s[:], w, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [nb*Ap, Ac]
-    # Writeback stays per-sample 2D: Mosaic SIGABRTs on an in-kernel
-    # [nb*Ap, Ac] -> [nb, Ap, Ac] reshape + 3D broadcast, and the loop body
-    # here is pure VPU elementwise on Ap x Ac tiles (no matmul tail).
     ii = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (Ap, Ac), 1)
     offdiag = jnp.where(ii == jj, 1.0, 2.0)
-    for s in range(nb):
-        S = S_all[s * Ap:(s + 1) * Ap, :]                 # [Ap, Ac]
-        # S's Ap x Ac block holds every value-carrying entry (alleles map
-        # into the first A <= Ap rows / A <= Ac cols), so its sum IS the
-        # full normalizer
-        total = jnp.sum(S)
-        if majority:
-            # per-classifier best guess, one vote (reference vote_method=2,
-            # src/LibHLA.cpp:2466-2476): first row-major max — the same
-            # tie order as the scan engine's argmax and the reference's
-            # strict-< triangular scan — marked at both mirrors of the
-            # unordered pair (the symmetric-matrix convention)
-            Q = S * offdiag
-            mx = jnp.max(Q)
-            flat = ii * Ac + jj
-            cand = jnp.where(Q >= mx, flat, jnp.int32(1 << 30))
-            midx = jnp.min(cand)
-            bi = midx // Ac
-            bj = midx % Ac
-            hit = (((ii == bi) & (jj == bj))
-                   | ((ii == bj) & (jj == bi))).astype(jnp.float32)
-            contrib = hit * jnp.where(wgt_ref[0, s, 0] > 0, 1.0, 0.0)
-        else:
-            contrib = S * offdiag * (wgt_ref[0, s, 0]
-                                     / jnp.maximum(total, 1e-30))
 
-        @pl.when(c == 0)
-        def _():
-            ens_out[s] = contrib
+    # genotype-code decomposition is PER CLASSIFIER (codes are gathered to
+    # each classifier's SNPs), so everything below sits in the ci loop;
+    # scratch buffers are reused across the cb classifiers of this step —
+    # blocking classifiers into one grid step amortizes the per-step fixed
+    # cost (DMA waits, pipeline bookkeeping), which dominates at the small
+    # per-classifier FLOP counts of typical models
+    for ci in range(cb):
+        hb = hb_ref[ci]                             # [H, L]
+        w = w_ref[ci]                               # [H, Ac]
+        invalid = 1.0 - valid_ref[ci]               # [H, 1]
+        inv_row = invalid.T                         # [1, H]
+        hb16 = hb.astype(jnp.bfloat16)
 
-        @pl.when(c != 0)
-        def _():
-            ens_out[s] += contrib
+        # in-kernel geno decomposition from the int8 block: 1 byte/SNP of
+        # HBM traffic instead of 9 (f32 u + f32 m1 + alpha); widened to
+        # i32 in VMEM — Mosaic has no 8-bit vector compare on this target
+        g = g_ref[ci].astype(jnp.int32)             # [nb, L]
+        is1 = (g == 1)
+        u = ((g == 0).astype(jnp.float32) - is1.astype(jnp.float32)
+             - (g == 2).astype(jnp.float32))        # [nb, L]
+        m1 = is1.astype(jnp.float32)
+        alpha = (is1.astype(jnp.float32)
+                 + 2.0 * (g == 2).astype(jnp.float32)).sum(
+                     axis=1, keepdims=True)         # [nb, 1]
+        # v in BOTH orientations via two cheap matmuls: a column slice of
+        # v and a row slice of v2 are layout-natural, avoiding a
+        # per-sample cross-lane transpose of v[:, s]
+        v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)   # [H, nb]
+        v2 = jnp.dot(u, hb.T, preferred_element_type=jnp.float32)  # [nb, H]
 
-        total_out[0, pl.ds(s, 1), :] = total.reshape(1, 1)
+        # cross-distances for all nb samples in ONE MXU pass (bf16 exact)
+        for s in range(nb):
+            hm_s[pl.ds(s * H, H), :] = (hb * m1[s, :][None, :]).astype(
+                jnp.bfloat16)
+        cross = jnp.dot(hm_s[:], hb16.T,
+                        preferred_element_type=jnp.float32)   # [nb*H, H]
+
+        for s in range(nb):
+            D = (alpha[s, 0] + v[:, s:s + 1] + v2[s:s + 1, :]
+                 + 2.0 * cross[s * H:(s + 1) * H, :]
+                 + BIG * invalid + BIG * inv_row)
+            dmin = jnp.min(D)
+            # pen_s is symmetric, so storing the block at a column offset
+            # IS the transposed layout the left contraction wants
+            pen2_s[:, pl.ds(s * H, H)] = jnp.exp(
+                LOG_MIN_RARE_FREQ * (D - dmin))
+            dmin_out[ci, pl.ds(s, 1), :] = dmin.reshape(1, 1)
+
+        # left contraction for ALL samples at once: [Ap, H] x [H, nb*H]
+        wT = w.T[:Ap, :]                                  # [Ap, H]
+        U2 = jnp.dot(wT, pen2_s[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [Ap, nb*H]
+        # regroup [Ap, nb*H] -> [nb*Ap, H] (nb tiny block copies), then
+        # the right contraction is one matmul whose output rows are
+        # already in the [nb, Ap, Ac] ensemble-block layout
+        for s in range(nb):
+            u3_s[pl.ds(s * Ap, Ap), :] = U2[:, s * H:(s + 1) * H]
+        S_all = jnp.dot(u3_s[:], w, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [nb*Ap, Ac]
+        # Writeback stays per-sample 2D: Mosaic SIGABRTs on an in-kernel
+        # [nb*Ap, Ac] -> [nb, Ap, Ac] reshape + 3D broadcast, and the loop
+        # body here is pure VPU elementwise on Ap x Ac tiles.
+        for s in range(nb):
+            S = S_all[s * Ap:(s + 1) * Ap, :]             # [Ap, Ac]
+            # S's Ap x Ac block holds every value-carrying entry (alleles
+            # map into the first A <= Ap rows / A <= Ac cols), so its sum
+            # IS the full normalizer
+            total = jnp.sum(S)
+            if majority:
+                # per-classifier best guess, one vote (reference
+                # vote_method=2, src/LibHLA.cpp:2466-2476): first
+                # row-major max — the same tie order as the scan engine's
+                # argmax and the reference's strict-< triangular scan —
+                # marked at both mirrors of the unordered pair
+                Q = S * offdiag
+                mx = jnp.max(Q)
+                flat = ii * Ac + jj
+                cand = jnp.where(Q >= mx, flat, jnp.int32(1 << 30))
+                midx = jnp.min(cand)
+                bi = midx // Ac
+                bj = midx % Ac
+                hit = (((ii == bi) & (jj == bj))
+                       | ((ii == bj) & (jj == bi))).astype(jnp.float32)
+                contrib = hit * jnp.where(wgt_ref[ci, s, 0] > 0, 1.0, 0.0)
+            else:
+                contrib = S * offdiag * (wgt_ref[ci, s, 0]
+                                         / jnp.maximum(total, 1e-30))
+
+            if ci == 0:
+                @pl.when(c == 0)
+                def _():
+                    ens_out[s] = contrib
+
+                @pl.when(c != 0)
+                def _():
+                    ens_out[s] += contrib
+            else:
+                ens_out[s] += contrib
+
+            total_out[ci, pl.ds(s, 1), :] = total.reshape(1, 1)
 
 
 def pick_nb(H: int) -> int:
@@ -262,10 +273,10 @@ def pick_nb(H: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("a_rows", "nb", "interpret",
-                                             "majority"))
+                                             "majority", "cb"))
 def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
                                a_rows, nb=None, interpret=False,
-                               majority=False):
+                               majority=False, cb=None):
     """Weighted ensemble posterior in ONE kernel launch.
 
     hap_bits [C,H,L]; W [C,H,Ac]; valid [C,H,1]; g [C,N,L] int8 genotype
@@ -281,32 +292,41 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
     N = g.shape[1]
     if nb is None:
         nb = pick_nb(H)
+    if cb is None:
+        # classifier-block: per-grid-step fixed cost dominates at typical
+        # classifier sizes (measured on v5e, 100-cls model, 8192 samples:
+        # 439 ms at cb=1 vs 330 ms at cb=10 incl. the dispatch round trip
+        # — device time roughly halves), so fold several classifiers into
+        # one grid step. Scratch is reused across them; VMEM grows only by
+        # the cb input blocks.
+        cb = next(d for d in range(min(16, C), 0, -1) if C % d == 0)
     # H=64 runs at half-lane MXU utilization but half the FLOPs of a
     # 128-padded layout — a net win for the (majority) small classifiers
-    assert H % 64 == 0 and Ac % 128 == 0 and N % nb == 0, (H, Ac, N, nb)
+    assert H % 64 == 0 and Ac % 128 == 0 and N % nb == 0 and C % cb == 0, \
+        (H, Ac, N, nb, C, cb)
 
-    grid = (N // nb, C)
+    grid = (N // nb, C // cb)
     ens, dmin, total = pl.pallas_call(
-        functools.partial(_kernel_ens_acc, nb=nb, majority=majority),
+        functools.partial(_kernel_ens_acc, nb=nb, majority=majority, cb=cb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, H, L), lambda i, c: (c, 0, 0),
+            pl.BlockSpec((cb, H, L), lambda i, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Ac), lambda i, c: (c, 0, 0),
+            pl.BlockSpec((cb, H, Ac), lambda i, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, 1), lambda i, c: (c, 0, 0),
+            pl.BlockSpec((cb, H, 1), lambda i, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, L), lambda i, c: (c, i, 0),
+            pl.BlockSpec((cb, nb, L), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((cb, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((nb, a_rows, Ac), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((cb, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, 1), lambda i, c: (c, i, 0),
+            pl.BlockSpec((cb, nb, 1), lambda i, c: (c, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
