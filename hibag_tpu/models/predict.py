@@ -222,6 +222,58 @@ def _ens_wsum(w, vote):
     return w.sum(0) if vote == "prob" else (w > 0).astype(w.dtype).sum(0)
 
 
+def _pack_stats(ens, wsum, log_match, w):
+    """Device-side matching reduction + ALL block outputs packed into one
+    [n, A*A+3] buffer: each separate device-to-host pull (and each extra
+    dispatch) costs a remote-tunnel round trip, which dominates wall time
+    at small batches. Log-sum-exp keeps tiny likelihoods (< f32 subnormal
+    range as plain exp) exact to f32 log precision."""
+    m = jnp.max(log_match, axis=0)                        # [n]
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.exp(log_match - safe_m[None, :]).sum(axis=0)
+    lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
+    wssum = w.sum(axis=0)
+    n = wsum.shape[0]
+    dt = ens.dtype
+    return jnp.concatenate(
+        [ens.reshape(n, -1), wsum[:, None].astype(dt),
+         lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "engine",
+                                             "cchunk", "f64", "block"))
+def _run_block_scan(hb, hf, ha, si, sw, geno_all, start, n_alleles, vote,
+                    engine, cchunk, f64, block):
+    """One block through the scan engine, sliced ON DEVICE from the
+    once-uploaded cohort and returned as the packed stats buffer — one
+    dispatch and one pull per block."""
+    g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
+    out = _predict_block(hb, hf, ha, si, sw, g, n_alleles, vote, engine,
+                         cchunk, f64)
+    return _pack_stats(*out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "block"))
+def _run_block_ens(hb, W, valid, si, sw, geno_all, start, n_alleles, vote,
+                   block):
+    """One block through the accumulating ensemble kernel (device-side
+    slice + packed stats; single dispatch per block)."""
+    g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
+    out = _predict_block_ens(hb, W, valid, si, sw, g, n_alleles, vote)
+    return _pack_stats(*out)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "f64",
+                                             "block"))
+def _run_block_flat(hb, hf, ha, si, sw, geno_all, start, n_alleles, vote,
+                    f64, block):
+    """One block through the mesh flat-vmap path (sharded classifier axis
+    propagates through jit; device-side slice + packed stats)."""
+    g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
+    out = _predict_block_flat(hb, hf, ha, si, sw, g, n_alleles, vote, f64)
+    return _pack_stats(*out)
+
+
 @functools.partial(jax.jit, static_argnames=("n_alleles", "vote"))
 def _predict_block_ens(hb, W, valid, snp_index, snp_weight,
                        geno_codes, n_alleles, vote="prob"):
@@ -262,17 +314,18 @@ def _predict_block_flat(hap_bits, hap_freq, hap_allele, snp_index,
 _MESH_ENS_CACHE = {}
 
 
-def _predict_block_ens_mesh(mesh, n_alleles, vote="prob"):
+def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None):
     """shard_map'd accumulating-ensemble-kernel predictor for `mesh`.
 
-    Classifier-axis tensors arrive sharded on "ens"; each device runs the
-    Pallas kernel over its classifier shard and the partial weighted
-    posteriors are psum-reduced over ICI. log_match/w stay sharded [C,n]
-    (the matching LSE reduction crosses the mesh inside _matching_stats)."""
+    Classifier-axis tensors arrive sharded on "ens"; each device slices its
+    sample block from the once-uploaded cohort, runs the Pallas kernel over
+    its classifier shard, and the partial weighted posteriors psum-reduce
+    over ICI; the matching LSE crosses the mesh via a pmax/psum pair. One
+    dispatch + one packed pull per block."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), n_alleles, vote)
+    key = (id(mesh), n_alleles, vote, block)
     fn = _MESH_ENS_CACHE.get(key)
     if fn is not None:
         return fn
@@ -280,16 +333,30 @@ def _predict_block_ens_mesh(mesh, n_alleles, vote="prob"):
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P("ens"), P("ens"), P("ens"), P("ens"), P(), P()),
-        out_specs=(P(), P(), P("ens"), P("ens")),
+        in_specs=(P("ens"), P("ens"), P("ens"), P("ens"), P(), P(), P()),
+        out_specs=P(),
         check_vma=False)  # the inner pallas_call can't annotate vma
-    def run(hb, W, valid, si, sw, geno):
+    def run(hb, W, valid, si, sw, geno_all, start):
+        geno = jax.lax.dynamic_slice_in_dim(geno_all, start[0], block,
+                                            axis=0)
         ens, log_match, w = _ens_core(hb, W, valid, si, sw, geno,
                                       n_alleles, vote)
         ens = jax.lax.psum(ens, "ens")
         wsum = jax.lax.psum(_ens_wsum(w, vote), "ens")
         ens = ens / jnp.maximum(wsum, 1e-30)[:, None, None]
-        return ens, wsum, log_match, w
+        # matching LSE across the sharded classifier axis
+        m_loc = jnp.max(log_match, axis=0)
+        m = jax.lax.pmax(m_loc, "ens")
+        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jax.lax.psum(
+            jnp.exp(log_match - safe_m[None, :]).sum(axis=0), "ens")
+        lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
+        wssum = jax.lax.psum(w.sum(axis=0), "ens")
+        n = wsum.shape[0]
+        dt = ens.dtype
+        return jnp.concatenate(
+            [ens.reshape(n, -1), wsum[:, None].astype(dt),
+             lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
 
     _MESH_ENS_CACHE[key] = run
     return run
@@ -438,7 +505,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if use_ens_kernel:
             ehb, eW, evalid = _prepare_ensemble(packed, A, cpad=cpad,
                                                 sharding=shard_c)
-            mesh_ens_fn = _predict_block_ens_mesh(mesh, A, vote)
+            mesh_ens_fn = _predict_block_ens_mesh(mesh, A, vote, block)
         else:
             hb = _padc(packed.hap_bits, 0)
             hf = _padc(packed.hap_freq, 0)
@@ -453,25 +520,6 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             hf = jnp.asarray(packed.hap_freq)
             ha = jnp.asarray(packed.hap_allele)
 
-    @jax.jit
-    def _matching_stats(ens, wsum, log_match, w):
-        """Per-sample matching reduction on DEVICE, and all block outputs
-        PACKED into one [n, A*A+3] buffer: pulling the [C, n] matrices —
-        or even four separate result arrays — through the remote tunnel
-        costs a round trip apiece, which dominates small batches. Log-sum-
-        exp keeps tiny likelihoods (< f32 subnormal range as plain exp)
-        exact to f32 log precision."""
-        m = jnp.max(log_match, axis=0)                        # [n]
-        safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
-        s = jnp.exp(log_match - safe_m[None, :]).sum(axis=0)
-        lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
-        wssum = w.sum(axis=0)
-        n = wsum.shape[0]
-        dt = ens.dtype
-        return jnp.concatenate(
-            [ens.reshape(n, -1), wsum[:, None].astype(dt),
-             lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
-
     def _finalize(start, n_eff, out):
         buf = np.asarray(out, dtype=np.float64)   # ONE device pull
         ens = buf[:, :A * A].reshape(-1, A, A)
@@ -485,35 +533,39 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         wsum_all[start:start + n_eff] = wsum[:n_eff]
         prog.forward(n_eff)
 
-    # pipeline the block dispatches: the host pull of block i syncs the
-    # device, so pulling eagerly serializes dispatch round trips (remote
-    # tunnel: ~0.25 s each). Keep a bounded window of blocks in flight and
-    # finalize lazily — JAX async dispatch overlaps upload/compute/pull.
+    # the whole cohort uploads ONCE (padded to a block multiple); blocks
+    # slice on device, so each block costs ONE dispatch and ONE packed
+    # pull. The host pull of block i syncs the device, so a bounded window
+    # of blocks stays in flight and finalizes lazily — JAX async dispatch
+    # overlaps upload/compute/pull (remote tunnel round trips ~0.25 s).
+    Npad = _ru(N, block)
+    codes_pad = codes if Npad == N else np.pad(
+        codes, ((0, Npad - N), (0, 0)), constant_values=GENO_MISSING)
+    if mesh is not None:
+        geno_all = jax.device_put(jnp.asarray(codes_pad), repl)
+    else:
+        geno_all = jnp.asarray(codes_pad)
     MAX_IN_FLIGHT = 8
     pending = []
     for start in range(0, N, block):
-        chunk = codes[start:start + block]
-        pad = block - chunk.shape[0]
-        if pad:
-            chunk = np.pad(chunk, ((0, pad), (0, 0)),
-                           constant_values=GENO_MISSING)
+        n_eff = min(block, N - start)
         if mesh is not None:
-            gblock = jax.device_put(jnp.asarray(chunk), repl)
+            st = jax.device_put(jnp.asarray([start], jnp.int32), repl)
             if use_ens_kernel:
-                ens, wsum, log_match, w = mesh_ens_fn(
-                    ehb, eW, evalid, si, sw, gblock)
+                out = mesh_ens_fn(ehb, eW, evalid, si, sw, geno_all, st)
             else:
-                ens, wsum, log_match, w = _predict_block_flat(
-                    hb, hf, ha, si, sw, gblock, A, vote, f64)
+                out = _run_block_flat(hb, hf, ha, si, sw, geno_all,
+                                      jnp.asarray(start, jnp.int32), A,
+                                      vote, f64, block)
         elif use_ens_kernel:
-            ens, wsum, log_match, w = _predict_block_ens(
-                ehb, eW, evalid, si, sw, jnp.asarray(chunk), A, vote)
+            out = _run_block_ens(ehb, eW, evalid, si, sw, geno_all,
+                                 jnp.asarray(start, jnp.int32), A, vote,
+                                 block)
         else:
-            ens, wsum, log_match, w = _predict_block(
-                hb, hf, ha, si, sw, jnp.asarray(chunk), A, vote, engine,
-                cchunk, f64)
-        packed_out = _matching_stats(ens, wsum, log_match, w)
-        pending.append((start, block - pad, packed_out))
+            out = _run_block_scan(hb, hf, ha, si, sw, geno_all,
+                                  jnp.asarray(start, jnp.int32), A, vote,
+                                  engine, cchunk, f64, block)
+        pending.append((start, n_eff, out))
         if len(pending) >= MAX_IN_FLIGHT:
             _finalize(*pending.pop(0))
     for item in pending:

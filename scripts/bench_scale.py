@@ -117,7 +117,8 @@ def _synthetic_cohort(n_samples: int, locus: str = "A", seed: int = 0):
 def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
                  mode: str = "fused", hcap: int = 256,
                  max_steps: int = 128, seed: int = 100,
-                 seg_steps=None, on_overflow: str = "warn"):
+                 seg_steps=None, on_overflow: str = "warn",
+                 batch=None):
     """Biobank-scale training: N>=50k resampled samples on one chip with
     bounded memory (pair masks are rematerialized per chunk — persistent
     state is O(C*H), reference streams pair lists src/LibHLA.cpp:1104-1255).
@@ -126,10 +127,10 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
     hla, big = _synthetic_cohort(n_samples)
     t0 = time.time()
     m = ht.train_parallel(hla, big, n_classifiers=n_classifiers,
-                          batch=n_classifiers, seed=seed, verbose=True,
-                          with_matching=False, mode=mode, hcap=hcap,
-                          max_steps=max_steps, seg_steps=seg_steps,
-                          on_overflow=on_overflow)
+                          batch=batch or n_classifiers, seed=seed,
+                          verbose=True, with_matching=False, mode=mode,
+                          hcap=hcap, max_steps=max_steps,
+                          seg_steps=seg_steps, on_overflow=on_overflow)
     dt = time.time() - t0
     oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
     print(json.dumps({
@@ -158,8 +159,12 @@ def cohort_exact_semantics(n_samples: int = 102_400,
     out = {}
     for hcap in (512, 1024):
         t0 = time.time()
+        # hcap=1024 at this scale: even ONE growth step per dispatch is a
+        # multi-minute XLA execution at K=4 (the remote tunnel kills it) —
+        # train classifiers one at a time (identical per-id RNG streams)
         m = train_cohort(n_samples, n_classifiers, hcap=hcap,
-                         max_steps=128, seg_steps=1)
+                         max_steps=128, seg_steps=1,
+                         batch=1 if hcap > 512 else None)
         out[hcap] = {
             "seqs": [c.snp_index.tolist() for c in m.classifiers],
             "n_haplo": [int(c.n_haplo) for c in m.classifiers],
