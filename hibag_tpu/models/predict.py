@@ -222,56 +222,85 @@ def _ens_wsum(w, vote):
     return w.sum(0) if vote == "prob" else (w > 0).astype(w.dtype).sum(0)
 
 
-def _pack_stats(ens, wsum, log_match, w):
-    """Device-side matching reduction + ALL block outputs packed into one
-    [n, A*A+3] buffer: each separate device-to-host pull (and each extra
-    dispatch) costs a remote-tunnel round trip, which dominates wall time
-    at small batches. Log-sum-exp keeps tiny likelihoods (< f32 subnormal
-    range as plain exp) exact to f32 log precision."""
+def _pack_cols(ens, wsum, lse, wssum, response):
+    """Pack block outputs into ONE device buffer (one pull per block).
+
+    response=False: [n, A*A+3] — full posterior matrix + (wsum, lse, wssum).
+    response=True (type="response[+dosage]", the default): the best-guess
+    reduction runs ON DEVICE and only [n, A+5] comes back — per-allele
+    dosage, the argmax flat index over the upper triangle, its probability,
+    and the three matching stats. For the bundled HLA-A model that is a
+    ~20x smaller pull per block, which matters when the device link is a
+    remote tunnel. Argmax semantics are identical to the host path: the
+    lower triangle masks to -1 (< any probability), the upper triangle is
+    visited in the same row-major order as np.triu_indices, and both
+    argmaxes take the first occurrence on ties."""
+    n = wsum.shape[0]
+    dt = ens.dtype
+    if response:
+        A = ens.shape[1]
+        mask = jnp.triu(jnp.ones((A, A), bool))
+        flat = jnp.where(mask[None], ens, -1.0).reshape(n, A * A)
+        best = jnp.argmax(flat, axis=1)
+        maxp = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+        # dosage[A] = 2*P[A,A] + sum_{B != A} P[A,B]
+        dosage = ens.sum(axis=2) + jnp.diagonal(ens, axis1=1, axis2=2)
+        head = [dosage, best[:, None].astype(dt), maxp[:, None]]
+    else:
+        head = [ens.reshape(n, -1)]
+    return jnp.concatenate(
+        head + [wsum[:, None].astype(dt), lse[:, None].astype(dt),
+                wssum[:, None].astype(dt)], axis=1)
+
+
+def _pack_stats(ens, wsum, log_match, w, response=False):
+    """Device-side matching reduction + packed block outputs: each separate
+    device-to-host pull (and each extra dispatch) costs a remote-tunnel
+    round trip, which dominates wall time at small batches. Log-sum-exp
+    keeps tiny likelihoods (< f32 subnormal range as plain exp) exact to
+    f32 log precision."""
     m = jnp.max(log_match, axis=0)                        # [n]
     safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.exp(log_match - safe_m[None, :]).sum(axis=0)
     lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
     wssum = w.sum(axis=0)
-    n = wsum.shape[0]
-    dt = ens.dtype
-    return jnp.concatenate(
-        [ens.reshape(n, -1), wsum[:, None].astype(dt),
-         lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
+    return _pack_cols(ens, wsum, lse, wssum, response)
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "engine",
-                                             "cchunk", "f64", "block"))
+                                             "cchunk", "f64", "block",
+                                             "response"))
 def _run_block_scan(hb, hf, ha, si, sw, geno_all, start, n_alleles, vote,
-                    engine, cchunk, f64, block):
+                    engine, cchunk, f64, block, response):
     """One block through the scan engine, sliced ON DEVICE from the
     once-uploaded cohort and returned as the packed stats buffer — one
     dispatch and one pull per block."""
     g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
     out = _predict_block(hb, hf, ha, si, sw, g, n_alleles, vote, engine,
                          cchunk, f64)
-    return _pack_stats(*out)
+    return _pack_stats(*out, response=response)
 
 
-@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "block"))
+@functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "block",
+                                             "response"))
 def _run_block_ens(hb, W, valid, si, sw, geno_all, start, n_alleles, vote,
-                   block):
+                   block, response):
     """One block through the accumulating ensemble kernel (device-side
     slice + packed stats; single dispatch per block)."""
     g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
     out = _predict_block_ens(hb, W, valid, si, sw, g, n_alleles, vote)
-    return _pack_stats(*out)
+    return _pack_stats(*out, response=response)
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles", "vote", "f64",
-                                             "block"))
+                                             "block", "response"))
 def _run_block_flat(hb, hf, ha, si, sw, geno_all, start, n_alleles, vote,
-                    f64, block):
+                    f64, block, response):
     """One block through the mesh flat-vmap path (sharded classifier axis
     propagates through jit; device-side slice + packed stats)."""
     g = jax.lax.dynamic_slice_in_dim(geno_all, start, block, axis=0)
     out = _predict_block_flat(hb, hf, ha, si, sw, g, n_alleles, vote, f64)
-    return _pack_stats(*out)
+    return _pack_stats(*out, response=response)
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles", "vote"))
@@ -314,7 +343,8 @@ def _predict_block_flat(hap_bits, hap_freq, hap_allele, snp_index,
 _MESH_ENS_CACHE = {}
 
 
-def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None):
+def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None,
+                            response=False):
     """shard_map'd accumulating-ensemble-kernel predictor for `mesh`.
 
     Classifier-axis tensors arrive sharded on "ens"; each device slices its
@@ -325,7 +355,7 @@ def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), n_alleles, vote, block)
+    key = (id(mesh), n_alleles, vote, block, response)
     fn = _MESH_ENS_CACHE.get(key)
     if fn is not None:
         return fn
@@ -352,11 +382,7 @@ def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None):
             jnp.exp(log_match - safe_m[None, :]).sum(axis=0), "ens")
         lse = jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), -jnp.inf)
         wssum = jax.lax.psum(w.sum(axis=0), "ens")
-        n = wsum.shape[0]
-        dt = ens.dtype
-        return jnp.concatenate(
-            [ens.reshape(n, -1), wsum[:, None].astype(dt),
-             lse[:, None].astype(dt), wssum[:, None].astype(dt)], axis=1)
+        return _pack_cols(ens, wsum, lse, wssum, response)
 
     _MESH_ENS_CACHE[key] = run
     return run
@@ -474,7 +500,16 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         block = ((8192 if N > 8192 else 4096) if use_ens_kernel else 128)
     block = min(block, max(_ru(N, 8), 8))
 
-    ens_all = np.zeros((N, A, A), dtype=np.float64)
+    # type="response[+dosage]" (no full posterior matrix requested): the
+    # best-guess argmax + dosage reduce ON DEVICE and each block pulls only
+    # [n, A+5] instead of [n, A*A+3]
+    response = not with_prob
+    if response:
+        dosage_all = np.zeros((N, A), dtype=np.float64)
+        best_all = np.zeros(N, dtype=np.int64)
+        maxp_all = np.zeros(N, dtype=np.float64)
+    else:
+        ens_all = np.zeros((N, A, A), dtype=np.float64)
     match_all = np.zeros(N, dtype=np.float64)
     wsum_all = np.zeros(N, dtype=np.float64)
     from ..utils.progress import Progress
@@ -505,7 +540,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         if use_ens_kernel:
             ehb, eW, evalid = _prepare_ensemble(packed, A, cpad=cpad,
                                                 sharding=shard_c)
-            mesh_ens_fn = _predict_block_ens_mesh(mesh, A, vote, block)
+            mesh_ens_fn = _predict_block_ens_mesh(mesh, A, vote, block,
+                                                  response)
         else:
             hb = _padc(packed.hap_bits, 0)
             hf = _padc(packed.hap_freq, 0)
@@ -522,13 +558,19 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
 
     def _finalize(start, n_eff, out):
         buf = np.asarray(out, dtype=np.float64)   # ONE device pull
-        ens = buf[:, :A * A].reshape(-1, A, A)
-        wsum = buf[:, A * A]
-        lse = buf[:, A * A + 1]
-        wssum = buf[:, A * A + 2]
+        off = A if response else A * A
+        wsum = buf[:, off + (2 if response else 0)]
+        lse = buf[:, off + (3 if response else 1)]
+        wssum = buf[:, off + (4 if response else 2)]
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             matching = np.where(wssum > 0, np.exp(lse) / wssum, np.nan)
-        ens_all[start:start + n_eff] = ens[:n_eff]
+        if response:
+            dosage_all[start:start + n_eff] = buf[:n_eff, :A]
+            best_all[start:start + n_eff] = buf[:n_eff, A].astype(np.int64)
+            maxp_all[start:start + n_eff] = buf[:n_eff, A + 1]
+        else:
+            ens_all[start:start + n_eff] = \
+                buf[:n_eff, :A * A].reshape(-1, A, A)
         match_all[start:start + n_eff] = matching[:n_eff]
         wsum_all[start:start + n_eff] = wsum[:n_eff]
         prog.forward(n_eff)
@@ -556,15 +598,15 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
             else:
                 out = _run_block_flat(hb, hf, ha, si, sw, geno_all,
                                       jnp.asarray(start, jnp.int32), A,
-                                      vote, f64, block)
+                                      vote, f64, block, response)
         elif use_ens_kernel:
             out = _run_block_ens(ehb, eW, evalid, si, sw, geno_all,
                                  jnp.asarray(start, jnp.int32), A, vote,
-                                 block)
+                                 block, response)
         else:
             out = _run_block_scan(hb, hf, ha, si, sw, geno_all,
                                   jnp.asarray(start, jnp.int32), A, vote,
-                                  engine, cchunk, f64, block)
+                                  engine, cchunk, f64, block, response)
         pending.append((start, n_eff, out))
         if len(pending) >= MAX_IN_FLIGHT:
             _finalize(*pending.pop(0))
@@ -572,13 +614,18 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         _finalize(*item)
 
     # --- host-side finalization ------------------------------------------
-    iu, ju = np.triu_indices(A)
-    tri = ens_all[:, iu, ju]                                  # [N, A(A+1)/2]
     alleles = np.asarray(model.hla_alleles, dtype=object)
-    best = tri.argmax(axis=1)
-    maxp = tri[np.arange(N), best]
-    a1 = alleles[iu[best]].copy()
-    a2 = alleles[ju[best]].copy()
+    if response:
+        a1 = alleles[best_all // A].copy()
+        a2 = alleles[best_all % A].copy()
+        maxp = maxp_all
+    else:
+        iu, ju = np.triu_indices(A)
+        tri = ens_all[:, iu, ju]                              # [N, A(A+1)/2]
+        best = tri.argmax(axis=1)
+        maxp = tri[np.arange(N), best]
+        a1 = alleles[iu[best]].copy()
+        a2 = alleles[ju[best]].copy()
     bad = (maxp <= 0) | (wsum_all <= 0)
     a1[bad] = None
     a2[bad] = None
@@ -587,7 +634,8 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     dosage = None
     if with_dosage:
         # dosage[A] = 2*P[A,A] + sum_{B != A} P{A,B}
-        dosage = (ens_all.sum(axis=2) + np.einsum("naa->na", ens_all)).T  # [A, N]
+        dosage = dosage_all.T if response else \
+            (ens_all.sum(axis=2) + np.einsum("naa->na", ens_all)).T  # [A, N]
 
     return PredictionResult(
         sample_id=sample_id,

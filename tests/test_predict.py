@@ -73,6 +73,25 @@ def test_predict_hapmap_accuracy(model, hapmap_geno, hla_types):
     np.testing.assert_allclose(res.dosage.sum(axis=0), 2.0, atol=1e-4)
 
 
+def test_predict_response_reduction_matches_full(model, hapmap_geno):
+    """type="response" reduces best-guess/dosage ON DEVICE (packed [n, A+5]
+    pull); its calls, probs, dosage and matching must agree with the full
+    posterior-matrix path (with_prob=True pulls [n, A*A+3] and reduces on
+    the host). Argmax tie-break order is identical by construction, so the
+    calls must match exactly."""
+    from hibag_tpu.models.predict import predict
+
+    full = predict(model, hapmap_geno, with_prob=True)
+    resp = predict(model, hapmap_geno)                 # response+dosage
+    assert list(full.allele1) == list(resp.allele1)
+    assert list(full.allele2) == list(resp.allele2)
+    np.testing.assert_allclose(resp.prob, full.prob, rtol=1e-6)
+    np.testing.assert_allclose(resp.matching, full.matching, rtol=1e-6)
+    # device f32 row-sum vs host f64 row-sum of the same matrix
+    np.testing.assert_allclose(resp.dosage, full.dosage, rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_pack_memo_invalidates_on_classifier_change(model_list):
     """pack() is memoized; replacing a classifier in place must invalidate
     the memo (ADVICE r2: a count-only key returned stale ensembles)."""
