@@ -174,8 +174,14 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
         hb = hb_ref[ci]                             # [H, L]
         w = w_ref[ci]                               # [H, Ac]
         invalid = 1.0 - valid_ref[ci]               # [H, 1]
-        inv_row = invalid.T                         # [1, H]
         hb16 = hb.astype(jnp.bfloat16)
+        # sample-invariant work hoisted out of the s loop (the loop is a
+        # Python unroll, so these are single traced values): the invalid-
+        # slot mask collapses two adds per sample into one, and the 2x on
+        # the cross term bakes into the bf16 left operand ({0,2} exact) so
+        # the per-sample scalar multiply disappears
+        M = BIG * invalid + BIG * invalid.T         # [H, H]
+        hb2 = hb + hb                               # [H, L] {0,2}
 
         # in-kernel geno decomposition from the int8 block: 1 byte/SNP of
         # HBM traffic instead of 9 (f32 u + f32 m1 + alpha); widened to
@@ -190,21 +196,23 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
                      axis=1, keepdims=True)         # [nb, 1]
         # v in BOTH orientations via two cheap matmuls: a column slice of
         # v and a row slice of v2 are layout-natural, avoiding a
-        # per-sample cross-lane transpose of v[:, s]
+        # per-sample cross-lane transpose of v[:, s]; alpha pre-adds into
+        # the row orientation (exact: both integer-valued)
         v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)   # [H, nb]
-        v2 = jnp.dot(u, hb.T, preferred_element_type=jnp.float32)  # [nb, H]
+        v2 = jnp.dot(u, hb.T,
+                     preferred_element_type=jnp.float32) + alpha   # [nb, H]
 
-        # cross-distances for all nb samples in ONE MXU pass (bf16 exact)
+        # cross-distances (pre-doubled) for all nb samples in ONE MXU pass
+        # (bf16 exact: {0,2}x{0,1} products, integer sums <= 2L in f32)
         for s in range(nb):
-            hm_s[pl.ds(s * H, H), :] = (hb * m1[s, :][None, :]).astype(
+            hm_s[pl.ds(s * H, H), :] = (hb2 * m1[s, :][None, :]).astype(
                 jnp.bfloat16)
         cross = jnp.dot(hm_s[:], hb16.T,
                         preferred_element_type=jnp.float32)   # [nb*H, H]
 
         for s in range(nb):
-            D = (alpha[s, 0] + v[:, s:s + 1] + v2[s:s + 1, :]
-                 + 2.0 * cross[s * H:(s + 1) * H, :]
-                 + BIG * invalid + BIG * inv_row)
+            D = (v[:, s:s + 1] + v2[s:s + 1, :]
+                 + cross[s * H:(s + 1) * H, :] + M)
             dmin = jnp.min(D)
             # pen_s is symmetric, so storing the block at a column offset
             # IS the transposed layout the left contraction wants
