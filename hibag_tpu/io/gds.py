@@ -34,10 +34,12 @@ Codecs: ZIP (zlib), LZMA (xz), uncompressed, and the random-access block
 variants ZIP_RA / LZMA_RA (independently compressed blocks with
 [compressed size, raw size] headers — structure-validated, falling back to
 the conversion-guidance error on mismatch) are supported. SeqArray
-("SEQ_ARRAY") files import through the flat node layout with the
-reference's dosage rules (_read_seq_array); LZ4 and folder-hierarchy
-SeqArray containers raise with conversion guidance (GDS→BED via SNPRelate,
-or GDS→VCF).
+("SEQ_ARRAY") files import with the reference's dosage rules
+(_read_seq_array) in both the flat node layout and the genotype/data +
+genotype/@data folder hierarchy real SeqArray files write (folders reuse
+the root-folder grammar and are walked recursively by _list_nodes); LZ4
+containers and multi-row (>3 ALT) genotype encodings raise with
+conversion guidance (GDS→BED via SNPRelate, or GDS→VCF).
 """
 
 from __future__ import annotations
@@ -133,6 +135,32 @@ def _dir_entries(root: bytes, streams: dict | None = None) -> list:
         except UnicodeDecodeError:
             pass
     return entries
+
+
+def _list_nodes(root: bytes, streams: dict, prefix: str = "",
+                _seen: frozenset = frozenset()) -> dict:
+    """Recursive {path: node-header stream id} map over the folder tree.
+
+    A directory entry whose header stream carries the data/codec markers is
+    an array node; one whose header stream carries directory-entry markers
+    is a sub-folder (CoreArray folders reuse the root-folder grammar) and
+    is walked recursively with a ``parent/`` path prefix — real SeqArray
+    files store genotypes under such a folder (``genotype/data`` +
+    ``genotype/@data``). Unrecognisable entries are dropped so callers fall
+    through to the conversion-guidance error instead of misparsing."""
+    nodes = {}
+    for name, sid in _dir_entries(root):
+        if sid in _seen:
+            continue                    # cycle guard
+        hdr = streams.get(sid)
+        if hdr is None:
+            continue
+        if _DATA_MARKER in hdr or _CODER_MARKER in hdr:
+            nodes[prefix + name] = sid
+        elif _DIR_MARKER in hdr:
+            nodes.update(_list_nodes(hdr, streams, prefix + name + "/",
+                                     _seen | {sid}))
+    return nodes
 
 
 def _file_format(root: bytes) -> str:
@@ -265,26 +293,40 @@ def _read_seq_array(streams: dict, root: bytes, import_chr: str,
     call missing. The genotype node is 2-bit packed allele indices,
     ploidy-major within sample within variant, index 3 = missing.
 
-    Only the flat node layout is supported (the same container grammar as
-    SNP_ARRAY files, tested on transcoded fixtures); files using SeqArray's
-    full folder hierarchy (genotype/data + index nodes) raise with
-    conversion guidance."""
+    Both layouts are read: a flat ``genotype`` array node, or the folder
+    hierarchy real SeqArray files write — ``genotype/data`` holding the
+    packed calls with a ``genotype/@data`` rows-per-variant index (all-ones
+    for biallelic data; multi-row variants, i.e. >3 ALT alleles, raise with
+    conversion guidance)."""
     from .bed import select_region
 
-    entries = dict(_dir_entries(root, streams))
-    missing = [n for n in _SEQ_EXPECTED if n not in entries]
+    nodes = _list_nodes(root, streams)
+    geno_key = ("genotype" if "genotype" in nodes
+                else "genotype/data" if "genotype/data" in nodes else None)
+    flat = [n for n in _SEQ_EXPECTED if n != "genotype"]
+    missing = [n for n in flat if n not in nodes]
+    if geno_key is None:
+        missing.append("genotype (or genotype/data)")
     if missing:
         raise NotImplementedError(
-            f"SEQ_ARRAY GDS lacks flat nodes {missing} (found "
-            f"{sorted(entries)}) — folder-hierarchy SeqArray containers "
-            "are not supported; convert to VCF first (in R: "
+            f"SEQ_ARRAY GDS lacks nodes {missing} (found "
+            f"{sorted(nodes)}) — convert to VCF first (in R: "
             "SeqArray::seqGDS2VCF).")
-    by_name = _read_nodes(streams, entries, _SEQ_EXPECTED)
+    by_name = _read_nodes(streams, nodes, flat + [geno_key])
+    by_name["genotype"] = by_name[geno_key]
 
     sample_id = by_name["sample.id"].decode().rstrip("\x00").split("\x00")
     variant_id = by_name["variant.id"].decode().rstrip("\x00").split("\x00")
     position = np.frombuffer(by_name["position"], dtype="<i4")
     n_samp, n_var = len(sample_id), len(variant_id)
+    if geno_key == "genotype/data" and "genotype/@data" in nodes:
+        idx = np.frombuffer(_read_nodes(
+            streams, nodes, ["genotype/@data"])["genotype/@data"], np.uint8)
+        if idx.size >= n_var and not bool((idx[:n_var] == 1).all()):
+            raise NotImplementedError(
+                "SEQ_ARRAY genotype/@data has multi-row variants (more "
+                "than 3 alternative alleles) — convert to VCF first "
+                "(in R: SeqArray::seqGDS2VCF).")
     chrom_raw = by_name["chromosome"]
     if len(chrom_raw) == 4 * n_var:
         chrom = np.frombuffer(chrom_raw, dtype="<i4").astype(str)

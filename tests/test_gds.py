@@ -305,6 +305,95 @@ def _transcode_seq_gds() -> bytes:
     return bytes(out)
 
 
+def _to_folder_hierarchy(data: bytes, idx_value: int = 1) -> bytes:
+    """Rewrite a flat SEQ_ARRAY container into the genotype/data +
+    genotype/@data folder hierarchy real SeqArray files use: the root
+    "genotype" entry is repointed at a new folder-node header stream (the
+    root-folder grammar) whose "data" entry reuses the original genotype
+    node header and whose "@data" entry is a new uncompressed array of
+    rows-per-variant counts."""
+    from hibag_tpu.io import gds as G
+
+    streams = G._parse_streams(data)
+    root = streams[1]
+    entries = dict(G._dir_entries(root, streams))
+    geno_hsid = entries["genotype"]
+    max_sid = max(streams)
+    folder_sid, idx_hdr_sid, idx_data_sid = (max_sid + 1, max_sid + 2,
+                                             max_sid + 3)
+
+    # root entry grammar: 26-byte prefix (u48 entry length, record words,
+    # sid at [12:16]) + name marker + u8 len + name
+    i = root.find(G._DIR_MARKER + bytes([9]) + b"sample.id")
+    tmpl = root[i - 26:i]
+
+    def entry(name: bytes, sid: int) -> bytes:
+        pre = bytearray(tmpl)
+        pre[12:16] = sid.to_bytes(4, "little")
+        body = bytearray(bytes(pre) + G._DIR_MARKER
+                         + bytes([len(name)]) + name)
+        body[0:6] = len(body).to_bytes(6, "little")
+        return bytes(body)
+
+    folder = bytearray((2).to_bytes(2, "little"))      # entry count
+    folder += entry(b"data", geno_hsid)
+    folder += entry(b"@data", idx_hdr_sid)
+    folder = len(folder).to_bytes(6, "little") + bytes(folder)
+
+    idx_hdr = ((1).to_bytes(2, "little") + b"\x09" + G._DATA_MARKER
+               + idx_data_sid.to_bytes(4, "little"))
+    idx_hdr = (len(idx_hdr) + 6).to_bytes(6, "little") + idx_hdr
+    idx_payload = bytes([idx_value]) * 2348            # n_var counts
+
+    j = root.find(G._DIR_MARKER + bytes([8]) + b"genotype")
+    new_root = bytearray(root)
+    new_root[j - 14:j - 10] = folder_sid.to_bytes(4, "little")
+
+    out = bytearray(data[:G._BLOCK_START])
+    pos = G._BLOCK_START
+    new = [(1, bytes(new_root)), (folder_sid, folder),
+           (idx_hdr_sid, idx_hdr), (idx_data_sid, idx_payload)]
+    while pos + 12 <= len(data):
+        word = int.from_bytes(data[pos:pos + 6], "little")
+        size = word & G._SIZE_MASK
+        sid = int.from_bytes(data[pos + 12:pos + 16], "little")
+        content = data[pos + 22:pos + size]
+        if sid != 1:
+            new.insert(0, (sid, content))
+        pos += size
+    for sid, content in new:
+        out += ((22 + len(content)) | G._HEAD_BIT).to_bytes(6, "little")
+        out += (0).to_bytes(6, "little")
+        out += sid.to_bytes(4, "little")
+        out += len(content).to_bytes(6, "little")
+        out += content
+    return bytes(out)
+
+
+def test_gds_seq_array_folder_hierarchy(tmp_path):
+    """The genotype/data + genotype/@data folder layout imports identically
+    to the flat SEQ_ARRAY layout (reference R/DataUtilities.R:860-912 via
+    seqGetData, which resolves the same hierarchy)."""
+    p = tmp_path / "seqfolder.gds"
+    p.write_bytes(_to_folder_hierarchy(_transcode_seq_gds()))
+    ref = read_gds(GDS, import_chr="")
+    got = read_gds(str(p), import_chr="")
+    np.testing.assert_array_equal(got.genotype, ref.genotype)
+    np.testing.assert_array_equal(got.snp_position, ref.snp_position)
+    assert list(got.sample_id) == list(ref.sample_id)
+    assert list(got.snp_id) == list(ref.snp_id)
+    assert list(got.snp_allele) == list(ref.snp_allele)
+
+
+def test_gds_seq_array_multirow_raises(tmp_path):
+    """Multi-row (>3 ALT alleles) genotype encodings are detected via the
+    @data index and raise with conversion guidance."""
+    p = tmp_path / "seqmulti.gds"
+    p.write_bytes(_to_folder_hierarchy(_transcode_seq_gds(), idx_value=2))
+    with pytest.raises(NotImplementedError, match="multi-row"):
+        read_gds(str(p), import_chr="")
+
+
 def test_gds_seq_array_import(tmp_path):
     """Flat-layout SEQ_ARRAY import reproduces the SNP_ARRAY genotypes,
     alleles and annotation exactly (reference dosage rules,
