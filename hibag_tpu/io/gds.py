@@ -30,16 +30,18 @@ allele of snp.allele "A/B" and 3 = missing — verified genotype-for-
 genotype against the PLINK copy of the same cohort (tests/test_gds.py:
 100% agreement on ~50k calls).
 
-Codecs: ZIP (zlib), LZMA (xz), uncompressed, and the random-access block
-variants ZIP_RA / LZMA_RA (independently compressed blocks with
-[compressed size, raw size] headers — structure-validated, falling back to
-the conversion-guidance error on mismatch) are supported. SeqArray
+Codecs: ZIP (zlib), LZMA (xz), LZ4 (pure-Python frame + block decoder,
+_lz4f_decompress — xxHash checksums skipped), uncompressed, and the
+random-access block variants ZIP_RA / LZMA_RA / LZ4_RA (independently
+compressed blocks with [compressed size, raw size] headers —
+structure-validated, falling back to the conversion-guidance error on
+mismatch) are supported. SeqArray
 ("SEQ_ARRAY") files import with the reference's dosage rules
 (_read_seq_array) in both the flat node layout and the genotype/data +
 genotype/@data folder hierarchy real SeqArray files write (folders reuse
-the root-folder grammar and are walked recursively by _list_nodes); LZ4
-containers and multi-row (>3 ALT) genotype encodings raise with
-conversion guidance (GDS→BED via SNPRelate, or GDS→VCF).
+the root-folder grammar and are walked recursively by _list_nodes); unknown
+codecs and multi-row (>3 ALT) genotype encodings raise with conversion
+guidance (GDS→BED via SNPRelate, or GDS→VCF).
 """
 
 from __future__ import annotations
@@ -190,11 +192,100 @@ def _node_info(hdr: bytes):
     return coder, data_sid
 
 
+def _lz4_block(src: bytes, hist: bytes = b"") -> bytes:
+    """Decompress one raw LZ4 block (the public LZ4 block format: token,
+    extended literal/match lengths, 16-bit little-endian match offsets,
+    4-byte minimum match). ``hist`` seeds the window for block-dependent
+    frames; only bytes produced by THIS block are returned."""
+    out = bytearray(hist)
+    base = len(out)
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        out += src[i:i + ll]
+        i += ll
+        if i >= n:
+            break                       # final sequence: literals only
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        ml = token & 15
+        if ml == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        pos = len(out) - off
+        if off == 0 or pos < 0:
+            raise ValueError("corrupt LZ4 block (bad match offset)")
+        while ml > 0:                   # overlap-safe chunked copy
+            avail = min(ml, len(out) - pos)
+            out += out[pos:pos + avail]
+            pos += avail
+            ml -= avail
+    return bytes(out[base:])
+
+
+_LZ4F_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _lz4f_decompress(payload: bytes, name: str) -> bytes:
+    """Decompress an LZ4 frame (public frame format v1: FLG/BD descriptor,
+    u32-length-prefixed blocks with a high-bit uncompressed flag, 0
+    end-mark). Block-dependent frames thread a 64 KiB history window;
+    xxHash32 header/content checksums are skipped, not verified."""
+    if len(payload) < 7 or payload[:4] != _LZ4F_MAGIC:
+        raise NotImplementedError(
+            f"GDS node {name!r}: LZ4 payload lacks the frame magic — "
+            "convert to VCF/BED first (in R: SNPRelate::snpgdsGDS2BED).")
+    flg = payload[4]
+    if flg >> 6 != 1:
+        raise NotImplementedError(
+            f"GDS node {name!r}: unsupported LZ4 frame version {flg >> 6}")
+    b_indep = (flg >> 5) & 1
+    b_checksum = (flg >> 4) & 1
+    pos = 6                             # magic + FLG + BD
+    if (flg >> 3) & 1:
+        pos += 8                        # content size
+    if flg & 1:
+        pos += 4                        # dictionary id
+    pos += 1                            # header checksum byte
+    out = bytearray()
+    while pos + 4 <= len(payload):
+        word = _u(payload[pos:pos + 4])
+        pos += 4
+        if word == 0:
+            break                       # end mark
+        stored = word & 0x7FFFFFFF
+        blob = payload[pos:pos + stored]
+        if len(blob) != stored:
+            raise ValueError(f"truncated LZ4 frame in GDS node {name!r}")
+        pos += stored
+        if b_checksum:
+            pos += 4
+        if word >> 31:
+            out += blob                 # stored uncompressed
+        else:
+            out += _lz4_block(blob, b"" if b_indep else bytes(out[-65536:]))
+    return bytes(out)
+
+
 #: maximum sane raw block size for RA streams (CoreArray caps blocks at 8M)
 _RA_MAX_RAW = 16 * 1024 * 1024
 
 
-def _decode_ra(payload: bytes, name: str, xz: bool) -> bytes:
+def _decode_ra(payload: bytes, name: str, dec) -> bytes:
     """Random-access (block-compressed) stream: a chain of independently
     compressed blocks, each prefixed by an 8-byte header
     [u32le compressed size][u32le raw size].
@@ -221,11 +312,7 @@ def _decode_ra(payload: bytes, name: str, xz: bool) -> bytes:
                 return None
             blob = payload[pos + 8:pos + 8 + csize]
             try:
-                if xz:
-                    raw = lzma.LZMADecompressor(
-                        format=lzma.FORMAT_XZ).decompress(blob)
-                else:
-                    raw = zlib.decompressobj().decompress(blob)
+                raw = dec(blob)
             except Exception:
                 return None
             if len(raw) != rsize:
@@ -255,13 +342,21 @@ def _decode_payload(payload: bytes, coder: str, name: str) -> bytes:
         return dec.decompress(payload)
     cu = coder.upper()
     if cu.startswith("ZIP_RA"):
-        return _decode_ra(payload, name, xz=False)
+        return _decode_ra(payload, name,
+                          lambda b: zlib.decompressobj().decompress(b))
     if cu.startswith("LZMA_RA"):
-        return _decode_ra(payload, name, xz=True)
+        return _decode_ra(payload, name, lambda b: lzma.LZMADecompressor(
+            format=lzma.FORMAT_XZ).decompress(b))
+    if cu.startswith("LZ4_RA"):
+        return _decode_ra(payload, name,
+                          lambda b: _lz4f_decompress(b, name))
+    if cu.startswith("LZ4"):            # incl. LZ4.fast/.hc level suffixes
+        return _lz4f_decompress(payload, name)
     raise NotImplementedError(
         f"GDS node {name!r} uses the {coder!r} codec; only ZIP, ZIP_RA, "
-        "LZMA, LZMA_RA and uncompressed storage are supported — convert "
-        "to VCF/BED first (in R: SNPRelate::snpgdsGDS2BED).")
+        "LZMA, LZMA_RA, LZ4, LZ4_RA and uncompressed storage are "
+        "supported — convert to VCF/BED first "
+        "(in R: SNPRelate::snpgdsGDS2BED).")
 
 
 def _read_nodes(streams: dict, entries: dict, names) -> dict:

@@ -78,6 +78,31 @@ def test_gds_predicts(model_list):
     assert same / len(common) > 0.8
 
 
+def _lz4_frame(raw: bytes, indep: bool = True, bs: int = 65536) -> bytes:
+    """Minimal LZ4 frame writer (literals-only blocks — valid per the
+    public block format; the match path is covered by hand vectors in
+    test_lz4_block_format)."""
+    from hibag_tpu.io import gds as G
+
+    def block(b: bytes) -> bytes:
+        head = bytearray([min(len(b), 15) << 4])
+        if len(b) >= 15:
+            rem = len(b) - 15
+            while rem >= 255:
+                head.append(255)
+                rem -= 255
+            head.append(rem)
+        return bytes(head) + b
+
+    flg = (1 << 6) | (0x20 if indep else 0)
+    out = bytearray(G._LZ4F_MAGIC + bytes([flg, 0x70, 0x00]))
+    for i in range(0, len(raw), bs):
+        blk = block(raw[i:i + bs])
+        out += len(blk).to_bytes(4, "little") + blk
+    out += (0).to_bytes(4, "little")
+    return bytes(out)
+
+
 def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
     """Rebuild the bundled ZIP-coded fixture with a different node codec.
 
@@ -125,7 +150,9 @@ def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
             return raw
         if coder == "LZMA":
             return lzma.compress(raw, format=lzma.FORMAT_XZ)
-        if coder in ("ZIP_ra", "LZMA_ra"):
+        if coder == "LZ4":
+            return _lz4_frame(raw)
+        if coder in ("ZIP_ra", "LZMA_ra", "LZ4_ra"):
             # random-access block chain: [u32 csize][u32 rsize] per block,
             # with a 4-byte stream prefix to exercise the offset scan
             out = bytearray(b"\x10\x01\x00\x00")
@@ -133,7 +160,8 @@ def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
             for i in range(0, len(raw), bs):
                 blk = raw[i:i + bs]
                 cb = (lzma.compress(blk, format=lzma.FORMAT_XZ)
-                      if coder == "LZMA_ra" else zlib.compress(blk))
+                      if coder == "LZMA_ra" else zlib.compress(blk)
+                      if coder == "ZIP_ra" else _lz4_frame(blk))
                 out += len(cb).to_bytes(4, "little")
                 out += len(blk).to_bytes(4, "little")
                 out += cb
@@ -178,11 +206,12 @@ def _transcode_gds(coder: str, split_genotype: bool = False) -> bytes:
     return bytes(out)
 
 
-@pytest.mark.parametrize("coder", ["", "LZMA", "ZIP_ra", "LZMA_ra"])
+@pytest.mark.parametrize("coder", ["", "LZMA", "LZ4", "ZIP_ra", "LZMA_ra",
+                                   "LZ4_ra"])
 def test_gds_codec_variants(tmp_path, coder):
-    """Uncompressed, LZMA(xz) and random-access block-coded (ZIP_RA /
-    LZMA_RA, multi-block with a stream prefix) node payloads decode
-    identically to the ZIP-coded original."""
+    """Uncompressed, LZMA(xz), LZ4-frame and random-access block-coded
+    (ZIP_RA / LZMA_RA / LZ4_RA, multi-block with a stream prefix) node
+    payloads decode identically to the ZIP-coded original."""
     p = tmp_path / f"variant_{coder or 'raw'}.gds"
     p.write_bytes(_transcode_gds(coder))
 
@@ -205,10 +234,33 @@ def test_gds_continuation_blocks(tmp_path):
 
 
 def test_gds_unknown_codec_raises(tmp_path):
-    p = tmp_path / "lz4.gds"
-    p.write_bytes(_transcode_gds("LZ4"))
-    with pytest.raises(NotImplementedError, match="LZ4"):
+    p = tmp_path / "xyz.gds"
+    p.write_bytes(_transcode_gds("XYZ"))
+    with pytest.raises(NotImplementedError, match="XYZ"):
         read_gds(str(p), import_chr="")
+
+
+def test_lz4_block_format():
+    """Hand-built LZ4 vectors: match copies, overlapping (RLE) matches,
+    block-dependent frame history."""
+    from hibag_tpu.io.gds import _lz4_block, _lz4f_decompress, _LZ4F_MAGIC
+
+    # "abcd" literals, then a 7-byte match at offset 4, then 5 literals
+    vec = bytes([0x43]) + b"abcd" + bytes([0x04, 0x00, 0x50]) + b"dabcd"
+    assert _lz4_block(vec) == b"abcdabcdabcdabcd"
+    # overlapping match: 1 literal "a", match len 6 at offset 1 -> "a"*7
+    assert _lz4_block(bytes([0x12]) + b"a" + bytes([0x01, 0x00])) == b"a" * 7
+    # history window: a match that reaches into the previous block
+    assert _lz4_block(bytes([0x04, 0x08, 0x00]),
+                      hist=b"abcdefgh") == b"abcdefgh"
+    # block-dependent frame: block 2's match offsets reference block 1
+    frame = bytearray(_LZ4F_MAGIC + bytes([1 << 6, 0x70, 0x00]))
+    b1 = bytes([0x80]) + b"abcdefgh"                  # 8 literals
+    b2 = bytes([0x04, 0x08, 0x00])                    # match len 8, off 8
+    for b in (b1, b2):
+        frame += len(b).to_bytes(4, "little") + b
+    frame += (0).to_bytes(4, "little")
+    assert _lz4f_decompress(bytes(frame), "t") == b"abcdefgh" * 2
 
 
 def test_gds_seq_array_wrong_nodes_raises(tmp_path):
