@@ -60,7 +60,8 @@ from .io.vcf_in import read_vcf
 from .models.introspect import allele_distance, geno_ld, ld_matrix, summarize
 from .models.model import AttrBagModel, Classifier, PackedEnsemble
 from .models.predict import PredictionResult, predict
-from .models.publish import model_files, out_of_bag, pred_merge, publish
+from .models.publish import (model_files, model_to_robj, out_of_bag,
+                             pred_merge, publish, save_rdata)
 from .models.train import train, train_distributed, train_parallel
 from .seq.aa import (AASeqTable, conv_sequence, convert_table,
                      format_residue_table)

@@ -176,9 +176,16 @@ def cmd_train(a) -> int:
 
 def cmd_convert(a) -> int:
     p = a.input.lower()
-    if p.endswith((".rdata", ".rda", ".rds")) and not a.geno:
+    model_out_r = a.out.lower().endswith((".rdata", ".rda"))
+    if (p.endswith((".rdata", ".rda", ".rds"))
+            or (p.endswith(".npz") and model_out_r)) and not a.geno:
         model = load_model(a.input, a.locus)
-        model.save(a.out)
+        if model_out_r:
+            # export back to R HIBAG (load() + hlaModelFromObj)
+            from .models.publish import save_rdata
+            save_rdata(model, a.out)
+        else:
+            model.save(a.out)
         print(f"model {a.input} -> {a.out} "
               f"({model.n_classifiers} classifiers, locus {model.locus})",
               file=sys.stderr)

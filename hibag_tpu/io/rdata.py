@@ -345,6 +345,212 @@ def read_rds(path: str) -> Any:
     return _parse_stream(buf, workspace=False)
 
 
+# --- writer (mirror of the reader; R `save()` XDR version-2 format) ---------
+
+class _Writer:
+    """Serialize RObj trees / plain Python values to the XDR stream.
+
+    Python conventions (inverse of r_to_py): dict → named VECSXP, list →
+    VECSXP, str → length-1 STRSXP, bool/int/float scalars → length-1
+    vectors, NumPy arrays by dtype (bool→LGLSXP, integer→INTSXP,
+    float→REALSXP, object/str→STRSXP), None → NULL. RObj passes through
+    with its attributes (class, names, row.names, dim, levels) — so
+    objects parsed by read_rdata re-serialize loadable by R."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def i32(self, v: int) -> None:
+        self.out += struct.pack(">i", int(v))
+
+    def _charsxp(self, s) -> None:
+        if s is None:
+            self.i32(CHARSXP)
+            self.i32(-1)
+            return
+        b = str(s).encode("utf-8")
+        # CHARSXP levels: ASCII flag 64, else UTF-8 flag 8
+        levels = 64 if all(c < 128 for c in b) else 8
+        self.i32(CHARSXP | (levels << 12))
+        self.i32(len(b))
+        self.out += b
+
+    def _symbol(self, name: str) -> None:
+        self.i32(SYMSXP)
+        self._charsxp(name)
+
+    def _flags(self, ptype: int, attrs: dict, has_tag: bool = False) -> None:
+        f = ptype
+        if attrs:
+            f |= 0x200
+            if "class" in attrs:
+                f |= 0x100          # object bit
+        if has_tag:
+            f |= 0x400
+        self.i32(f)
+
+    def _attrs(self, attrs: dict) -> None:
+        for name, val in attrs.items():
+            self.i32(LISTSXP | 0x400)
+            self._symbol(name)
+            self.write_item(val)
+        self.i32(NILVALUE_SXP)
+
+    def write_item(self, obj: Any) -> None:
+        obj = py_to_r(obj)
+        if obj is None:
+            self.i32(NILVALUE_SXP)
+            return
+        attrs = obj.attrs or {}
+        t = obj.type
+        if t == SYMSXP:
+            self._symbol(obj.data)
+            return
+        if t == CHARSXP:
+            self._charsxp(obj.data)
+            return
+        if t in (LISTSXP, LANGSXP):
+            # flattened (tag, car) pairs → nested pairlist nodes; attrs
+            # attach to the first node
+            pairs = obj.data
+            for k, (tag, car) in enumerate(pairs):
+                a = attrs if k == 0 else {}
+                self._flags(t, a, has_tag=tag is not None)
+                if a:
+                    self._attrs(a)
+                if tag is not None:
+                    self._symbol(tag)
+                self.write_item(car)
+            self.i32(NILVALUE_SXP)
+            return
+        if t == STRSXP:
+            self._flags(t, attrs)
+            self.i32(len(obj.data))
+            for s in obj.data:
+                self._charsxp(s)
+        elif t == VECSXP:
+            self._flags(t, attrs)
+            self.i32(len(obj.data))
+            for x in obj.data:
+                self.write_item(x)
+        elif t == LGLSXP:
+            self._flags(t, attrs)
+            a = np.asarray(obj.data)
+            self.i32(len(a))
+            ints = np.where(a < 0, R_NA_INT, a.astype(np.int64))
+            self.out += ints.astype(">i4").tobytes()
+        elif t == INTSXP:
+            self._flags(t, attrs)
+            a = np.asarray(obj.data, dtype=np.int64)
+            self.i32(len(a))
+            self.out += a.astype(">i4").tobytes()
+        elif t == REALSXP:
+            self._flags(t, attrs)
+            a = np.asarray(obj.data, dtype=np.float64)
+            self.i32(len(a))
+            raw = a.astype(">f8").tobytes()
+            if np.isnan(a).any():
+                # write NaNs as R NA_real_ (the reader maps both to nan)
+                buf = np.frombuffer(raw, dtype=">u8").copy()
+                buf[np.isnan(a)] = _NA_REAL_BITS
+                raw = buf.astype(">u8").tobytes()
+            self.out += raw
+        elif t == RAWSXP:
+            self._flags(t, attrs)
+            a = np.asarray(obj.data, dtype=np.uint8)
+            self.i32(len(a))
+            self.out += a.tobytes()
+        else:
+            raise ValueError(f"cannot serialize SEXP type {t}")
+        if attrs:
+            self._attrs(attrs)
+
+
+def py_to_r(obj: Any) -> Any:
+    """Convert a plain Python value to an RObj (see _Writer conventions).
+    RObj and None pass through."""
+    if obj is None or isinstance(obj, RObj):
+        return obj
+    if isinstance(obj, str):
+        return RObj(STRSXP, [obj])
+    if isinstance(obj, (bool, np.bool_)):
+        return RObj(LGLSXP, np.asarray([1 if obj else 0], np.int8))
+    if isinstance(obj, (int, np.integer)):
+        return RObj(INTSXP, np.asarray([obj], np.int64))
+    if isinstance(obj, (float, np.floating)):
+        return RObj(REALSXP, np.asarray([obj], np.float64))
+    if isinstance(obj, dict):
+        return RObj(VECSXP, [py_to_r(v) for v in obj.values()],
+                    {"names": RObj(STRSXP, [str(k) for k in obj])})
+    if isinstance(obj, (list, tuple)):
+        if all(isinstance(x, str) or x is None for x in obj):
+            return RObj(STRSXP, list(obj))
+        if obj and all(isinstance(x, (bool, np.bool_)) for x in obj):
+            return RObj(LGLSXP, np.asarray(obj, np.int8))
+        if obj and all(isinstance(x, (int, np.integer))
+                       and not isinstance(x, bool) for x in obj):
+            return RObj(INTSXP, np.asarray(obj, np.int64))
+        if obj and all(isinstance(x, (int, float, np.integer, np.floating))
+                       and not isinstance(x, bool) for x in obj):
+            return RObj(REALSXP, np.asarray(obj, np.float64))
+        return RObj(VECSXP, [py_to_r(v) for v in obj])
+    a = np.asarray(obj)
+    if a.dtype == np.bool_:
+        return RObj(LGLSXP, a.astype(np.int8))
+    if np.issubdtype(a.dtype, np.integer):
+        return RObj(INTSXP, a.astype(np.int64))
+    if np.issubdtype(a.dtype, np.floating):
+        return RObj(REALSXP, a.astype(np.float64))
+    if a.dtype == np.uint8:
+        return RObj(RAWSXP, a)
+    if a.dtype.kind in ("U", "S", "O"):
+        return RObj(STRSXP, [None if x is None else str(x)
+                             for x in a.ravel().tolist()])
+    raise ValueError(f"cannot convert {type(obj)} to an R object")
+
+
+def r_dataframe(cols: dict) -> RObj:
+    """Build a data.frame RObj from {column name: vector}."""
+    vals = [py_to_r(v) for v in cols.values()]
+    n = len(vals[0].data) if vals else 0
+    return RObj(VECSXP, vals, {
+        "names": RObj(STRSXP, [str(k) for k in cols]),
+        # compact row.names: c(NA_integer_, -n)
+        "row.names": RObj(INTSXP, np.asarray([R_NA_INT, -n], np.int64)),
+        "class": RObj(STRSXP, ["data.frame"]),
+    })
+
+
+def _serialize(objects: dict, version: int = 2) -> bytes:
+    w = _Writer()
+    w.out += b"RDX2\nX\n"
+    w.i32(version)
+    w.i32(0x030600)     # writer R version (3.6.0)
+    w.i32(0x020300)     # minimum reader version (2.3.0)
+    for name, val in objects.items():
+        w.i32(LISTSXP | 0x400)
+        w._symbol(name)
+        w.write_item(val)
+    w.i32(NILVALUE_SXP)
+    return bytes(w.out)
+
+
+def write_rdata(path: str, objects: dict, compress: str = "gzip") -> None:
+    """Write a .RData workspace file ({name: value}) loadable by R `load()`
+    — the mirror of read_rdata (XDR version 2, the format the reference's
+    bundled models use). Values follow the _Writer conventions; pass RObj
+    trees (e.g. from read_rdata, or r_dataframe) to control classes."""
+    payload = _serialize(objects)
+    if compress == "gzip":
+        with gzip.open(path, "wb", compresslevel=6) as f:
+            f.write(payload)
+    elif compress in (None, "", "none"):
+        with open(path, "wb") as f:
+            f.write(payload)
+    else:
+        raise ValueError(f"unsupported compression {compress!r}")
+
+
 # --- convenience conversion -------------------------------------------------
 
 def r_to_py(obj: Any) -> Any:
