@@ -535,6 +535,24 @@ def _serialize(objects: dict, version: int = 2) -> bytes:
     return bytes(w.out)
 
 
+def write_rds(path: str, obj: Any, compress: str = "gzip") -> None:
+    """Write a single object as .rds (readRDS-compatible; mirror of
+    read_rds)."""
+    w = _Writer()
+    w.out += b"X\n"
+    w.i32(2)
+    w.i32(0x030600)
+    w.i32(0x020300)
+    w.write_item(obj)
+    payload = bytes(w.out)
+    if compress == "gzip":
+        with gzip.open(path, "wb", compresslevel=6) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
 def write_rdata(path: str, objects: dict, compress: str = "gzip") -> None:
     """Write a .RData workspace file ({name: value}) loadable by R `load()`
     — the mirror of read_rdata (XDR version 2, the format the reference's
