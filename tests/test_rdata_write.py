@@ -70,6 +70,15 @@ def test_write_roundtrip_primitives(tmp_path):
     assert list(back["df"]["b"]) == ["u", "v"]
 
 
+def test_write_rds_roundtrip(tmp_path):
+    from hibag_tpu.io.rdata import read_rds, write_rds
+    p = str(tmp_path / "obj.rds")
+    write_rds(p, {"v": np.arange(3, dtype=np.int64), "s": "hi"})
+    back = r_to_py(read_rds(p))
+    np.testing.assert_array_equal(back["v"], [0, 1, 2])
+    assert list(back["s"]) == ["hi"]
+
+
 def test_reserialize_bundled_modellist(tmp_path):
     """The bundled R-written ModelList re-serializes to a deep-equal
     structure (RObj trees pass through the writer with attributes)."""
