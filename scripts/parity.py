@@ -180,11 +180,18 @@ def compare_train(locus: str, seed: int, ncls: int,
     return res
 
 
-def compare_predict(locus: str, target: str = "base") -> dict:
+def compare_predict(locus: str, target: str = "base",
+                    missing: float = 0.0, mseed: int = 7) -> dict:
     """Posterior parity on all CEU samples: the bundled published model
     when the locus has one (HLA-A), else a small model trained HERE and
     injected into the reference kernel — which also validates that our
-    classifiers round-trip through the reference's Assign path."""
+    classifiers round-trip through the reference's Assign path.
+
+    ``missing`` > 0 masks genotypes before BOTH engines see them — a
+    ``missing/2`` fraction of whole model SNPs (absent from the array,
+    driving the per-classifier weighting path, reference
+    src/LibHLA.cpp:2407-2428) plus a scattered ``missing`` fraction of
+    individual calls (the in-classifier missing-genotype path)."""
     _setup_jax()
     import hibag_tpu as ht
     from hibag_tpu.io.rdata import read_rdata, r_to_py
@@ -206,6 +213,18 @@ def compare_predict(locus: str, target: str = "base") -> dict:
     mdump = f"/tmp/parity_pp_{locus}.txt"
     write_model_dump(model, mdump, n_samp=geno.n_samp)
     codes, _ = align_to_model(model, geno, match_type="Position")
+    if missing > 0:
+        mrng = np.random.default_rng(mseed)
+        codes = codes.copy()                          # [n_samp, P]
+        codes[:, mrng.random(P) < missing / 2] = GENO_MISSING
+        codes[mrng.random(codes.shape) < missing] = GENO_MISSING
+        # our engine consumes the identical masked, model-aligned matrix
+        geno = ht.SNPGenoData(
+            genotype=codes.T.copy(), sample_id=geno.sample_id,
+            snp_id=np.asarray(model.snp_id, dtype=object),
+            snp_position=np.asarray(model.snp_position, dtype=np.int64),
+            snp_allele=np.asarray(model.snp_allele, dtype=object),
+            assembly=geno.assembly)
     gm = codes.astype(np.int32)
     gm[gm >= GENO_MISSING] = -1
     pbin = f"/tmp/parity_pp_{locus}.bin"
@@ -235,7 +254,7 @@ def compare_predict(locus: str, target: str = "base") -> dict:
     same = int(sum((a == b1 and b == b2) or (a == b2 and b == b1)
                    for a, b, b1, b2 in zip(res.allele1, res.allele2, g1, g2)))
     return {
-        "locus": locus, "n_samples": int(n),
+        "locus": locus, "n_samples": int(n), "missing": missing,
         "n_classifiers": model.n_classifiers, "target": target,
         "postprob_max_abs_diff": float(np.abs(res.postprob.T - prob).max()),
         "maxprob_max_abs_diff": float(np.abs(res.prob - maxp).max()),
@@ -295,6 +314,7 @@ def main(argv):
     ap.add_argument("--seed", type=int, default=100)
     ap.add_argument("--ncls", type=int, default=2)
     ap.add_argument("--target", default="base")
+    ap.add_argument("--missing", type=float, default=0.0)
     args = ap.parse_args(argv)
     if ensure_built() is None:
         print(json.dumps({"error": "build failed"}))
@@ -302,7 +322,8 @@ def main(argv):
     if args.mode == "train":
         res = compare_train(args.locus, args.seed, args.ncls, args.target)
     elif args.mode == "predict":
-        res = compare_predict(args.locus, args.target)
+        res = compare_predict(args.locus, args.target,
+                              missing=args.missing)
     elif args.mode == "sweep":
         res = dict(sweep(ncls=args.ncls, target=args.target))
         res.pop("rows", None)

@@ -79,6 +79,21 @@ def test_train_trajectory_parity(refparity_bin, locus, seed, ncls):
         assert c["acc_equal"], (k, c)
 
 
+def test_predict_parity_with_missing(refparity_bin):
+    """The missing-genotype paths agree with the reference kernel: 12.5%
+    of model SNPs dropped entirely (per-classifier weighting, reference
+    src/LibHLA.cpp:2407-2428) plus 25% scattered missing calls, identical
+    masked matrix fed to both engines (measured ~2.7e-11 max abs diff,
+    60/60 best guesses identical)."""
+    res = _run(["predict", "--locus", "A", "--missing", "0.25"],
+               timeout=1200)
+    assert res["missing"] == 0.25
+    assert res["best_guess_identical"] == res["best_guess_total"] == 60
+    assert res["postprob_max_abs_diff"] <= 1e-9
+    assert res["matching_max_abs_diff"] <= 1e-9
+    assert res["dosage_max_abs_diff"] <= 1e-9
+
+
 @pytest.mark.parametrize("locus", ["A", "DRB1"])
 def test_predict_posterior_parity(refparity_bin, locus):
     """Posteriors, matching and best-guess calls agree with the reference
