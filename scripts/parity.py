@@ -181,7 +181,8 @@ def compare_train(locus: str, seed: int, ncls: int,
 
 
 def compare_predict(locus: str, target: str = "base",
-                    missing: float = 0.0, mseed: int = 7) -> dict:
+                    missing: float = 0.0, mseed: int = 7,
+                    vote: str = "prob") -> dict:
     """Posterior parity on all CEU samples: the bundled published model
     when the locus has one (HLA-A), else a small model trained HERE and
     injected into the reference kernel — which also validates that our
@@ -232,7 +233,8 @@ def compare_predict(locus: str, target: str = "base",
         f.write(struct.pack("<2i", gm.shape[0], P))
         f.write(gm.astype("<i4").tobytes())
     obin = f"/tmp/parity_pp_{locus}_out.bin"
-    subprocess.run([BIN, "predict", mdump, pbin, "1", obin, target],
+    vm = "2" if vote == "majority" else "1"
+    subprocess.run([BIN, "predict", mdump, pbin, vm, obin, target],
                    check=True, capture_output=True)
 
     raw = open(obin, "rb").read()
@@ -247,7 +249,8 @@ def compare_predict(locus: str, target: str = "base",
     off += 8 * n * ntri
     dosage = np.frombuffer(raw, "<f8", n * A, off).reshape(n, A)
 
-    res = ht.predict(model, geno, dtype=np.float64, with_prob=True,
+    res = ht.predict(model, geno, vote=vote, dtype=np.float64,
+                     with_prob=True,
                      with_dosage=True)
     alleles = np.asarray(model.hla_alleles, dtype=object)
     g1, g2 = alleles[H1], alleles[H2]
@@ -255,6 +258,7 @@ def compare_predict(locus: str, target: str = "base",
                    for a, b, b1, b2 in zip(res.allele1, res.allele2, g1, g2)))
     return {
         "locus": locus, "n_samples": int(n), "missing": missing,
+        "vote": vote,
         "n_classifiers": model.n_classifiers, "target": target,
         "postprob_max_abs_diff": float(np.abs(res.postprob.T - prob).max()),
         "maxprob_max_abs_diff": float(np.abs(res.prob - maxp).max()),
@@ -315,6 +319,7 @@ def main(argv):
     ap.add_argument("--ncls", type=int, default=2)
     ap.add_argument("--target", default="base")
     ap.add_argument("--missing", type=float, default=0.0)
+    ap.add_argument("--vote", default="prob", choices=["prob", "majority"])
     args = ap.parse_args(argv)
     if ensure_built() is None:
         print(json.dumps({"error": "build failed"}))
@@ -323,7 +328,7 @@ def main(argv):
         res = compare_train(args.locus, args.seed, args.ncls, args.target)
     elif args.mode == "predict":
         res = compare_predict(args.locus, args.target,
-                              missing=args.missing)
+                              missing=args.missing, vote=args.vote)
     elif args.mode == "sweep":
         res = dict(sweep(ncls=args.ncls, target=args.target))
         res.pop("rows", None)

@@ -94,6 +94,23 @@ def test_predict_parity_with_missing(refparity_bin):
     assert res["dosage_max_abs_diff"] <= 1e-9
 
 
+def test_predict_majority_vote_parity(refparity_bin):
+    """Majority voting (reference vote_method=2, src/LibHLA.cpp:2460-2476)
+    agrees with the reference kernel: identical ensemble best guesses and
+    matching on all 60 CEU samples. The vote MATRIX may differ by a few
+    whole votes: measured 3 flips, each verified to sit on an in-classifier
+    knife-edge tie (top-2 posterior pairs equal to <1e-9 relative), where
+    tie resolution is summation-order-defined (docs/DEVIATIONS.md #8)."""
+    res = _run(["predict", "--locus", "A", "--vote", "majority"],
+               timeout=1200)
+    assert res["vote"] == "majority"
+    assert res["best_guess_identical"] == res["best_guess_total"] == 60
+    assert res["matching_max_abs_diff"] <= 1e-9
+    # vote diffs are whole votes (units of 1/n_classifiers), few in number
+    d = res["postprob_max_abs_diff"] * res["n_classifiers"]
+    assert d <= 5.0 and abs(d - round(d)) < 1e-6, d
+
+
 @pytest.mark.parametrize("locus", ["A", "DRB1"])
 def test_predict_posterior_parity(refparity_bin, locus):
     """Posteriors, matching and best-guess calls agree with the reference
