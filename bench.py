@@ -42,6 +42,30 @@ except Exception:
 #: soft deadline: skip optional metrics if the mandatory ones took too long
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 
+#: hard watchdog: if the remote-TPU tunnel is down, the first device op
+#: blocks forever — emit an explicit failure line and exit instead of
+#: hanging the driver (disarmed once the mandatory metric is measured)
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+_watchdog_armed = True
+
+
+def _arm_watchdog() -> None:
+    import threading
+
+    def fire():
+        if _watchdog_armed:
+            print(json.dumps({
+                "metric": "train_classifiers_per_s", "value": None,
+                "unit": "classifiers/s", "vs_baseline": None,
+                "error": f"watchdog: no training metric after "
+                         f"{WATCHDOG_S:.0f}s (TPU tunnel down?)"}),
+                flush=True)
+            os._exit(3)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+
 # Measured reference-kernel numbers on THIS image's CPU (4-core AVX-512
 # Xeon; scripts/refbench, data via scripts/export_baseline_data.py
 # "nearest:1000" = the exact config[0] workload, 60 samp x 976 SNP):
@@ -57,7 +81,9 @@ REF_CPU = "AVX512VPOPCNTDQ, 4 cores (scripts/refbench)"
 
 
 def main():
+    global _watchdog_armed
     T_START = time.time()
+    _arm_watchdog()
     import hibag_tpu
     from hibag_tpu.data.allele import HLATypeTable
     from hibag_tpu.io.rdata import read_rdata, r_to_py
@@ -103,6 +129,7 @@ def main():
         model = train_parallel(hla, fg, seed=100, **kw)
         train_s = min(train_s, time.time() - t0)
     cls_per_s = n_cls / train_s
+    _watchdog_armed = False          # mandatory metric measured
     _stage(f"training done: {cls_per_s:.2f} cls/s")
 
     # ---- prediction throughput (100-classifier published model) ---------
