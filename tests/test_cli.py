@@ -26,6 +26,14 @@ def test_cli_convert_model_and_geno(workdir):
     from hibag_tpu.models.model import AttrBagModel
     m = AttrBagModel.load(str(workdir / "modelA.npz"))
     assert m.n_classifiers == 100 and m.locus == "A"
+    # and back out to R (npz -> .RData, hlaModelFromObj-loadable)
+    assert main(["convert", str(workdir / "modelA.npz"),
+                 str(workdir / "modelA.RData")]) == 0
+    from hibag_tpu.io.rdata import read_rdata, r_to_py
+    back = AttrBagModel.from_hibag_obj(
+        r_to_py(read_rdata(str(workdir / "modelA.RData"))["mobj"]),
+        locus="A")
+    assert back.n_classifiers == 100
 
 
 def test_cli_impute_tsv_and_vcf(workdir, capsys):
