@@ -141,7 +141,10 @@ def cmd_impute(a) -> int:
         from .io.vcf import write_vcf
         write_vcf(res, out, assembly=a.assembly, prob_cutoff=a.prob_cutoff)
     else:
-        with (open(out, "w") if out != "-" else sys.stdout) as f:
+        import contextlib
+        # nullcontext: "--out -" must not close sys.stdout on block exit
+        with (open(out, "w") if out != "-"
+              else contextlib.nullcontext(sys.stdout)) as f:
             f.write("sample.id\tallele1\tallele2\tprob\tmatching\n")
             for s, a1, a2, p, m in zip(res.sample_id, res.allele1,
                                        res.allele2, res.prob, res.matching):

@@ -415,9 +415,19 @@ def _read_seq_array(streams: dict, root: bytes, import_chr: str,
     position = np.frombuffer(by_name["position"], dtype="<i4")
     n_samp, n_var = len(sample_id), len(variant_id)
     if geno_key == "genotype/data" and "genotype/@data" in nodes:
-        idx = np.frombuffer(_read_nodes(
-            streams, nodes, ["genotype/@data"])["genotype/@data"], np.uint8)
-        if idx.size >= n_var and not bool((idx[:n_var] == 1).all()):
+        raw = _read_nodes(
+            streams, nodes, ["genotype/@data"])["genotype/@data"]
+        # the rows-per-variant index may be stored at any integer width;
+        # infer it from the payload size (fail safe on anything else —
+        # never skip the multi-row check or misread interleaved bytes)
+        width = len(raw) // n_var if n_var and len(raw) % n_var == 0 else 0
+        if width not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"SEQ_ARRAY genotype/@data index has unexpected size "
+                f"{len(raw)} for {n_var} variants — convert to VCF first "
+                "(in R: SeqArray::seqGDS2VCF).")
+        idx = np.frombuffer(raw, dtype=f"<u{width}")
+        if not bool((idx[:n_var] == 1).all()):
             raise NotImplementedError(
                 "SEQ_ARRAY genotype/@data has multi-row variants (more "
                 "than 3 alternative alleles) — convert to VCF first "

@@ -435,19 +435,23 @@ class _Writer:
                 self.write_item(x)
         elif t == LGLSXP:
             self._flags(t, attrs)
-            a = np.asarray(obj.data)
-            self.i32(len(a))
+            # R atomic vectors are flat; matrices carry a `dim` attribute
+            # and column-major data, so multi-d input is flattened F-order
+            # (matching r_to_py's reshape) — length is a.size, never the
+            # first-dimension len()
+            a = np.asarray(obj.data).ravel(order="F")
+            self.i32(a.size)
             ints = np.where(a < 0, R_NA_INT, a.astype(np.int64))
             self.out += ints.astype(">i4").tobytes()
         elif t == INTSXP:
             self._flags(t, attrs)
-            a = np.asarray(obj.data, dtype=np.int64)
-            self.i32(len(a))
+            a = np.asarray(obj.data, dtype=np.int64).ravel(order="F")
+            self.i32(a.size)
             self.out += a.astype(">i4").tobytes()
         elif t == REALSXP:
             self._flags(t, attrs)
-            a = np.asarray(obj.data, dtype=np.float64)
-            self.i32(len(a))
+            a = np.asarray(obj.data, dtype=np.float64).ravel(order="F")
+            self.i32(a.size)
             raw = a.astype(">f8").tobytes()
             if np.isnan(a).any():
                 # write NaNs as R NA_real_ (the reader maps both to nan)
@@ -457,8 +461,8 @@ class _Writer:
             self.out += raw
         elif t == RAWSXP:
             self._flags(t, attrs)
-            a = np.asarray(obj.data, dtype=np.uint8)
-            self.i32(len(a))
+            a = np.asarray(obj.data, dtype=np.uint8).ravel(order="F")
+            self.i32(a.size)
             self.out += a.tobytes()
         else:
             raise ValueError(f"cannot serialize SEXP type {t}")
@@ -495,14 +499,19 @@ def py_to_r(obj: Any) -> Any:
             return RObj(REALSXP, np.asarray(obj, np.float64))
         return RObj(VECSXP, [py_to_r(v) for v in obj])
     a = np.asarray(obj)
+    # multi-d arrays become R matrices/arrays: a `dim` attribute plus
+    # column-major data (the writer flattens F-order; r_to_py reshapes
+    # back). Raw vectors (RAWSXP) are never inferred — uint8 maps to
+    # INTSXP like every integer dtype; construct RObj(RAWSXP, ...)
+    # explicitly to emit R raw.
+    dims = ({"dim": RObj(INTSXP, np.asarray(a.shape, np.int64))}
+            if a.ndim > 1 else {})
     if a.dtype == np.bool_:
-        return RObj(LGLSXP, a.astype(np.int8))
+        return RObj(LGLSXP, a.astype(np.int8), dims)
     if np.issubdtype(a.dtype, np.integer):
-        return RObj(INTSXP, a.astype(np.int64))
+        return RObj(INTSXP, a.astype(np.int64), dims)
     if np.issubdtype(a.dtype, np.floating):
-        return RObj(REALSXP, a.astype(np.float64))
-    if a.dtype == np.uint8:
-        return RObj(RAWSXP, a)
+        return RObj(REALSXP, a.astype(np.float64), dims)
     if a.dtype.kind in ("U", "S", "O"):
         return RObj(STRSXP, [None if x is None else str(x)
                              for x in a.ravel().tolist()])

@@ -284,16 +284,20 @@ class AttrBagModel:
         repeated predict() calls skip the per-classifier packing loop.
         The memo lives in a weak side-table (not __dict__) so model
         copy/reconstruction paths stay unaffected."""
-        # id-tuple fingerprint invalidates the memo when classifiers are
-        # replaced in place, not only when the count changes
-        key = (hap_bucket, np.dtype(dtype).str,
-               tuple(id(c) for c in self.classifiers))
+        # identity fingerprint invalidates the memo when classifiers are
+        # replaced in place, not only when the count changes; the memo
+        # holds strong references to the fingerprinted classifiers so a
+        # GC'd classifier can never alias a recycled id() into a false hit
+        key = (hap_bucket, np.dtype(dtype).str)
+        objs = tuple(self.classifiers)
         cache = _PACK_CACHE.get(self)
-        if cache is not None and cache[0] == key:
-            return cache[1]
+        if (cache is not None and cache[0] == key
+                and len(cache[1]) == len(objs)
+                and all(a is b for a, b in zip(cache[1], objs))):
+            return cache[2]
         packed = PackedEnsemble.from_model(self, hap_bucket=hap_bucket,
                                            dtype=dtype)
-        _PACK_CACHE.set(self, (key, packed))
+        _PACK_CACHE.set(self, (key, objs, packed))
         return packed
 
 

@@ -144,7 +144,10 @@ def _prepare_ensemble(packed, n_alleles, cpad=0, sharding=None):
     cpad appends that many all-zero classifier slots (mesh paths pad the
     classifier axis to the device count); `sharding` device_puts the
     tensors with the classifier axis sharded."""
-    key = (n_alleles, cpad, None if sharding is None else id(sharding))
+    # shardings compare by value (mesh + spec), so a fresh NamedSharding
+    # built on each predict() call still hits the memo — an id()-based key
+    # would re-pad and re-upload the ensemble every call on the mesh path
+    key = (n_alleles, cpad, sharding)
     cached = _PREP_CACHE.get(packed)
     if cached is not None and cached[0] == key:
         return cached[1]
@@ -339,8 +342,12 @@ def _predict_block_flat(hap_bits, hap_freq, hap_allele, snp_index,
     return ens, wsum, log_match, w
 
 
-#: (mesh id, n_alleles) -> compiled mesh ensemble-kernel predictor
+#: (mesh, n_alleles, vote, block, response) -> compiled mesh
+#: ensemble-kernel predictor; insertion-ordered and capped so long-lived
+#: processes with varying block sizes/meshes don't accumulate compiled
+#: closures (each pins its mesh alive) without bound
 _MESH_ENS_CACHE = {}
+_MESH_ENS_CACHE_MAX = 16
 
 
 def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None,
@@ -355,10 +362,12 @@ def _predict_block_ens_mesh(mesh, n_alleles, vote="prob", block=None,
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), n_alleles, vote, block, response)
+    key = (mesh, n_alleles, vote, block, response)
     fn = _MESH_ENS_CACHE.get(key)
     if fn is not None:
         return fn
+    while len(_MESH_ENS_CACHE) >= _MESH_ENS_CACHE_MAX:
+        _MESH_ENS_CACHE.pop(next(iter(_MESH_ENS_CACHE)))
 
     @jax.jit
     @functools.partial(

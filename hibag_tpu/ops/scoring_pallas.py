@@ -307,7 +307,13 @@ def ensemble_accumulate_pallas(hap_bits, W, valid, g, wgt,
         # — device time roughly halves), so fold several classifiers into
         # one grid step. Scratch is reused across them; VMEM grows only by
         # the cb input blocks.
-        cb = next(d for d in range(min(16, C), 0, -1) if C % d == 0)
+        # ...but cap cb so the cb-scaled input blocks (hb f32, W f32,
+        # valid f32, g int8, wgt f32) stay within a conservative VMEM
+        # budget — large-H/L models that compile fine at cb=1 must not
+        # start exhausting Mosaic VMEM just because C grew
+        per_cls = 4 * (H * L + H * Ac + H + nb) + nb * L
+        cap = max(1, min(16, int(6 * 1024 * 1024) // max(per_cls, 1)))
+        cb = next(d for d in range(min(cap, C), 0, -1) if C % d == 0)
     # H=64 runs at half-lane MXU utilization but half the FLOPs of a
     # 128-padded layout — a net win for the (majority) small classifiers
     assert H % 64 == 0 and Ac % 128 == 0 and N % nb == 0 and C % cb == 0, \

@@ -137,7 +137,7 @@ int64_t hibag_vcf_gt_codes(const char* cells, int64_t len, int32_t gt_index,
             if (*p == ':') colon++;
             p++;
         }
-        int refcnt = 0, seen = 0;
+        int refcnt = 0, seen = 0, bad = 0;
         if (colon == gt_index) {
             while (p < end && *p != '\t' && *p != ':') {
                 char c = *p;
@@ -149,12 +149,19 @@ int64_t hibag_vcf_gt_codes(const char* cells, int64_t len, int32_t gt_index,
                     }
                     seen++;
                     if (v == 0) refcnt++;
+                } else if (c == '.' || c == '/' || c == '|') {
+                    p++;
                 } else {
-                    p++;  // '.', '/', '|'
+                    // non-numeric allele token (e.g. "1/A"): the whole
+                    // cell is missing, matching the Python fallback's
+                    // int() ValueError path in io/vcf_in.py
+                    bad = 1;
+                    p++;
                 }
             }
         }
-        out[s++] = seen ? (uint8_t)(refcnt > 2 ? 2 : refcnt) : (uint8_t)3;
+        out[s++] = (seen && !bad) ? (uint8_t)(refcnt > 2 ? 2 : refcnt)
+                                  : (uint8_t)3;
         // skip the rest of the cell
         while (p < end && *p != '\t') p++;
         p++;  // the tab (or one past end)

@@ -94,3 +94,17 @@ def test_cli_train_and_report(workdir, capsys, hla_types):
                  "--locus", "A", "--format", "md"]) == 0
     rep = capsys.readouterr().out
     assert "accuracy" in rep.lower() or "|" in rep
+
+
+def test_cli_impute_stdout_not_closed(workdir, capsys):
+    """--out - writes the table to stdout WITHOUT closing it (a closed
+    sys.stdout breaks every later print in the process)."""
+    import sys
+
+    assert main(["impute", "--model", str(workdir / "modelA.npz"),
+                 "--geno", str(workdir / "geno.npz"),
+                 "--out", "-", "--match-type", "RefSNP"]) == 0
+    assert not sys.stdout.closed
+    out = capsys.readouterr().out
+    assert out.startswith("sample.id\t")
+    print("still alive")          # would raise if stdout were closed

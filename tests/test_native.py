@@ -59,3 +59,30 @@ def test_snp_stats_matches_fallback():
         native._LIB = lib
     np.testing.assert_allclose(f1, f2)
     np.testing.assert_allclose(m1, m2)
+
+
+def test_vcf_gt_codes_malformed_tokens_match_fallback():
+    """Non-numeric allele tokens must make the CELL missing (the Python
+    fallback's int() ValueError path), not be silently skipped."""
+    from hibag_tpu.io.native import get_lib, vcf_gt_codes
+
+    if get_lib() is None:
+        pytest.skip("native lib not built")
+    #           s1     s2     s3   s4    s5     s6
+    cells = b"1/A\tA/1\t0/1\t.\t1|.\t22/0"
+    g = vcf_gt_codes(cells, 0, 6)
+    assert g is not None
+    # Python fallback semantics: 1/A and A/1 -> missing; 0/1 -> 1 REF;
+    # "." -> missing; "1|." -> 0 REF; "22/0" -> 1 REF copy
+    assert g.tolist() == [3, 3, 1, 3, 0, 1]
+
+
+def test_vcf_gt_codes_gt_not_first_field():
+    from hibag_tpu.io.native import get_lib, vcf_gt_codes
+
+    if get_lib() is None:
+        pytest.skip("native lib not built")
+    cells = b"9:0/0\t3:1/B\t7:./."
+    g = vcf_gt_codes(cells, 1, 3)
+    assert g is not None
+    assert g.tolist() == [2, 3, 3]

@@ -367,3 +367,34 @@ def test_auto_save_resume_matches_uninterrupted(tmp_path, hla_types,
     for a, b in zip(full.classifiers, resumed.classifiers):
         np.testing.assert_array_equal(a.snp_index, b.snp_index)
         np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
+
+
+def test_prepare_ensemble_memo_hits_across_calls(model_list, hapmap_geno):
+    """Repeated predict(mesh=...) must reuse the device-resident ensemble:
+    shardings compare by value, so the fresh NamedSharding each call
+    builds still hits the _prepare_ensemble memo (an id()-keyed memo
+    would re-pad + re-upload the multi-MB ensemble every call)."""
+    from hibag_tpu.models.model import AttrBagModel
+    from hibag_tpu.models import predict as P
+    from hibag_tpu.parallel.mesh import ensemble_mesh
+
+    model = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    model = model.subset_classifiers(16)
+    mesh = ensemble_mesh()
+
+    calls = []
+    orig = P._PREP_CACHE.set
+
+    def spying_set(obj, val):
+        calls.append(val[0])
+        return orig(obj, val)
+
+    P._PREP_CACHE.set = spying_set
+    try:
+        P.predict(model, hapmap_geno, mesh=mesh, engine="pallas")
+        n_first = len(calls)
+        assert n_first >= 1          # first call builds + uploads
+        P.predict(model, hapmap_geno, mesh=mesh, engine="pallas")
+        assert len(calls) == n_first  # second call: memo hit, no rebuild
+    finally:
+        P._PREP_CACHE.set = orig

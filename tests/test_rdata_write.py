@@ -147,3 +147,22 @@ def test_save_rdata_modellist(tmp_path):
     assert back.data[0].rclass == ["hlaAttrBagObj"]
     m2 = AttrBagModel.from_hibag_obj(r_to_py(back)["A"], locus="A")
     assert m2.n_classifiers == model.n_classifiers
+
+
+def test_write_roundtrip_matrix(tmp_path):
+    """Multi-dim arrays serialize as R matrices: F-order data + dim attr
+    (a len()-vs-size mismatch used to corrupt the stream)."""
+    from hibag_tpu.io.rdata import read_rds, write_rds
+
+    p = str(tmp_path / "m.rds")
+    m = np.arange(12, dtype=np.float64).reshape(3, 4)
+    m[1, 2] = np.nan
+    write_rds(p, {"m": m, "i": np.arange(6, dtype=np.int32).reshape(2, 3),
+                  "v": np.array([1.0, 2.0])})
+    back = r_to_py(read_rds(p))
+    assert back["m"].shape == (3, 4)
+    assert np.isnan(back["m"][1, 2])
+    assert np.array_equal(back["m"][~np.isnan(m)], m[~np.isnan(m)])
+    assert back["i"].shape == (2, 3)
+    assert np.array_equal(back["i"], np.arange(6).reshape(2, 3))
+    assert np.array_equal(back["v"], [1.0, 2.0])
