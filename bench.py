@@ -49,6 +49,34 @@ WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "2400"))
 _watchdog_armed = True
 
 
+def _wait_for_tpu(budget_s: float) -> bool:
+    """Probe the TPU tunnel in throwaway subprocesses until a device op
+    succeeds or the budget runs out. The tunnel endpoint drops for hours
+    at a time (observed: even jax.devices() blocks forever in-process),
+    so the bench waits for recovery instead of hanging into the watchdog.
+    Returns True when the tunnel answered."""
+    import subprocess
+
+    probe = "import jax; jax.devices(); print('ok')"
+    t0 = time.time()
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 >= budget_s:
+            return False
+        if first:
+            _stage("TPU tunnel unresponsive; waiting for recovery "
+                   f"(up to {budget_s:.0f}s)")
+            first = False
+        time.sleep(45)
+
+
 def _arm_watchdog() -> None:
     import threading
 
@@ -83,6 +111,18 @@ REF_CPU = "AVX512VPOPCNTDQ, 4 cores (scripts/refbench)"
 def main():
     global _watchdog_armed
     T_START = time.time()
+    # only probe when the axon (remote TPU) plugin is on the path — CPU
+    # runs must not burn the wait budget
+    if any("axon" in p for p in os.environ.get("PYTHONPATH", "").split(":")):
+        if not _wait_for_tpu(float(os.environ.get(
+                "BENCH_TUNNEL_WAIT_S", "5400"))):
+            print(json.dumps({
+                "metric": "train_classifiers_per_s", "value": None,
+                "unit": "classifiers/s", "vs_baseline": None,
+                "error": "TPU tunnel unresponsive for the whole wait "
+                         "budget (device probe never returned)"}),
+                flush=True)
+            return 3
     _arm_watchdog()
     import hibag_tpu
     from hibag_tpu.data.allele import HLATypeTable
@@ -307,4 +347,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

@@ -216,6 +216,65 @@ def train_drb1_500(n_classifiers: int = 500):
     }), flush=True)
 
 
+def predict_mesh_virtual(n_samples: int = 8192):
+    """Mesh-sharded prediction through the PUBLIC predict(mesh=) API on
+    the virtual multi-device mesh (no multi-chip hardware in this image;
+    run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
+    device_count=8). Measures sharded vs single-device throughput AND
+    asserts call identity — the scaling analogue of hlaPredict(cl=),
+    R/HIBAG.R:764-807."""
+    import jax
+
+    import hibag_tpu as ht
+    from hibag_tpu.parallel.mesh import ensemble_mesh
+
+    ml = ht.r_to_py(ht.read_rdata(
+        "/root/reference/inst/extdata/ModelList.RData")["modellist"])
+    model = ht.AttrBagModel.from_hibag_obj(ml["A"], locus="A")
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    rng = np.random.default_rng(0)
+    cols = rng.integers(0, geno.n_samp, n_samples)
+    big = ht.SNPGenoData(
+        genotype=geno.genotype[:, cols],
+        sample_id=np.array([f"s{i}" for i in range(n_samples)],
+                           dtype=object),
+        snp_id=geno.snp_id, snp_position=geno.snp_position,
+        snp_allele=geno.snp_allele, assembly=geno.assembly)
+    mesh = ensemble_mesh()
+    out = {"metric": "predict_mesh_virtual_samples_per_s",
+           "unit": "samples/s", "n_samples": n_samples,
+           "n_devices": len(jax.devices()),
+           "n_classifiers": model.n_classifiers}
+    # engine="jnp": on the CPU mesh the Pallas kernel would run in
+    # interpret mode (orders of magnitude slow) — the compiled scan path
+    # is the meaningful virtual-device measurement; kernel-path mesh
+    # identity is covered by tests/test_parallel.py
+    ht.predict(model, big, block=2048, engine="jnp")         # warmups
+    ht.predict(model, big, mesh=mesh, block=2048, engine="jnp")
+    results = {}
+    for label, kw in (("single", {}), ("mesh", {"mesh": mesh})):
+        t0 = time.time()
+        results[label] = ht.predict(model, big, block=2048, engine="jnp",
+                                    **kw)
+        out[f"{label}_samples_per_s"] = round(
+            n_samples / (time.time() - t0), 1)
+    assert np.array_equal(results["mesh"].allele1,
+                          results["single"].allele1)
+    assert np.array_equal(results["mesh"].allele2,
+                          results["single"].allele2)
+    out["calls_identical"] = True
+    out["value"] = out["mesh_samples_per_s"]
+    # virtual devices all share this host's physical cores: the ratio
+    # measures collective/sharding OVERHEAD (it cannot show speedup —
+    # there is no extra silicon); identity of calls is the real assert
+    out["note"] = ("virtual devices share one host's cores; ratio = "
+                   "sharding overhead, not scaling")
+    out["mesh_overhead_factor"] = round(
+        out["single_samples_per_s"] / out["mesh_samples_per_s"], 2)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "predict"
     if which == "predict":
@@ -231,3 +290,6 @@ if __name__ == "__main__":
     elif which == "exact":
         cohort_exact_semantics(
             int(sys.argv[2]) if len(sys.argv) > 2 else 102_400)
+    elif which == "mesh":
+        predict_mesh_virtual(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 8192)
