@@ -280,7 +280,8 @@ def compare_rng(seed: int = 100, n: int = 5000) -> dict:
             "identical": bool(np.array_equal(ref, ours))}
 
 
-def sweep(loci=("A", "B", "C", "DRB1"), seeds=(100, 101, 102),
+def sweep(loci=("A", "B", "C", "DQA1", "DQB1", "DRB1"),
+          seeds=(100, 101, 102),
           ncls: int = 2, target: str = "base") -> dict:
     """Broad trajectory-parity sweep (the statistic DEVIATIONS.md #3 and
     tests/test_refparity.py cite). Writes docs/PARITY_SWEEP.json."""

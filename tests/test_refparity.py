@@ -12,11 +12,12 @@ which is process-global.
 The (locus, seed) pairs asserted for FULL trajectory equality are ones
 where no exact-floating-tie argmax flip occurs (see docs/DEVIATIONS.md #1:
 the reference's own SIMD targets disagree at such ties; "base" is the
-order-defining scalar kernel). A broad sweep measured 5/24 (locus, seed,
-classifier) combos fully trajectory-identical, all with haplotype sets
-exactly equal, freqs <= 5e-12 and OOB accuracy bit-equal; the rest diverge
-only AT a tie flip (long identical prefixes, bootstrap always identical
-when stream positions align).
+order-defining scalar kernel). A broad 6-locus sweep (docs/
+PARITY_SWEEP.json) measured 13/36 (locus, seed, classifier) combos fully
+trajectory-identical — including ALL SIX DQA1 combos — with haplotype
+sets exactly equal, freqs <= 5e-11 and OOB accuracy bit-equal; the rest
+diverge only AT a tie flip (long identical prefixes, bootstrap always
+identical when stream positions align).
 """
 
 import json
@@ -64,6 +65,7 @@ def test_rng_stream_identical(refparity_bin):
     ("DRB1", 102, 2),
     ("A", 102, 1),
     ("B", 101, 1),
+    ("DQA1", 100, 2),
 ])
 def test_train_trajectory_parity(refparity_bin, locus, seed, ncls):
     """Identical RNG streams -> identical bootstrap counts, accepted-SNP
