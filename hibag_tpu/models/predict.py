@@ -567,10 +567,10 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
 
     def _finalize(start, n_eff, out):
         buf = np.asarray(out, dtype=np.float64)   # ONE device pull
-        off = A if response else A * A
-        wsum = buf[:, off + (2 if response else 0)]
-        lse = buf[:, off + (3 if response else 1)]
-        wssum = buf[:, off + (4 if response else 2)]
+        # _pack_cols layout: head (dosage[A] + best + maxp, or ens[A*A])
+        # then the three stats columns
+        head = A + 2 if response else A * A
+        wsum, lse, wssum = buf[:, head], buf[:, head + 1], buf[:, head + 2]
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             matching = np.where(wssum > 0, np.exp(lse) / wssum, np.nan)
         if response:
