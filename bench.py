@@ -110,7 +110,6 @@ REF_CPU = "AVX512VPOPCNTDQ, 4 cores (scripts/refbench)"
 
 def main():
     global _watchdog_armed
-    T_START = time.time()
     # only probe when the axon (remote TPU) plugin is on the path — CPU
     # runs must not burn the wait budget
     if any("axon" in p for p in os.environ.get("PYTHONPATH", "").split(":")):
@@ -123,6 +122,9 @@ def main():
                          "budget (device probe never returned)"}),
                 flush=True)
             return 3
+    # the optional-metric deadline starts AFTER any tunnel wait — waiting
+    # must not eat the measurement budget
+    T_START = time.time()
     _arm_watchdog()
     import hibag_tpu
     from hibag_tpu.data.allele import HLATypeTable
