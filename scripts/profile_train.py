@@ -34,34 +34,44 @@ def main():
     order = np.argsort(np.abs(geno.snp_position - mid))[:1000]
     fg = geno.subset(snp_mask=np.sort(order))
 
-    # instrument fused_grow_batch
+    # instrument fused_grow_batch: per-dispatch wall time + batch size +
+    # hcap (retry dispatches show up as a second, smaller-K entry)
     orig = train_fused.fused_grow_batch
     marks = {}
 
-    def timed(*a, **kw):
+    def timed(bits0, *a, **kw):
         t0 = time.perf_counter()
-        out = orig(*a, **kw)
+        out = orig(bits0, *a, **kw)
         jax.block_until_ready(out)
-        marks.setdefault("grow", []).append(time.perf_counter() - t0)
+        marks.setdefault("grow", []).append(
+            (time.perf_counter() - t0, bits0.shape[0], bits0.shape[1]))
         return out
 
     train_fused.fused_grow_batch = timed
 
-    kw = dict(n_classifiers=25, batch=25, verbose=False,
-              with_matching=False, mode="fused", hcap=128, max_steps=192,
-              on_overflow="retry")
-    print("warmup...", flush=True)
-    train_parallel(hla, fg, seed=1, **kw)
-    print("warm reps", flush=True)
-    for rep in range(5):
-        marks.clear()
-        t0 = time.perf_counter()
-        train_parallel(hla, fg, seed=100, **kw)
-        total = time.perf_counter() - t0
-        grow = sum(marks.get("grow", []))
-        print(f"rep{rep}: total {total:.3f}s  device-loop {grow:.3f}s "
-              f"({len(marks.get('grow', []))} dispatches)  "
-              f"host/other {total - grow:.3f}s", flush=True)
+    import sys
+    hcaps = ([int(x) for x in sys.argv[1:]] or [128])
+    for hcap in hcaps:
+        kw = dict(n_classifiers=25, batch=25, verbose=False,
+                  with_matching=False, mode="fused", hcap=hcap,
+                  max_steps=192, on_overflow="retry")
+        print(f"=== hcap={hcap}: warmup (compile)...", flush=True)
+        train_parallel(hla, fg, seed=1, **kw)
+        print("warm reps", flush=True)
+        best = None
+        for rep in range(5):
+            marks.clear()
+            t0 = time.perf_counter()
+            train_parallel(hla, fg, seed=100, **kw)
+            total = time.perf_counter() - t0
+            grow = sum(t for t, *_ in marks.get("grow", []))
+            disp = [(round(t, 3), K, H) for t, K, H in marks.get("grow", [])]
+            print(f"rep{rep}: total {total:.3f}s device-loop {grow:.3f}s "
+                  f"dispatches {disp} host/other {total - grow:.3f}s",
+                  flush=True)
+            best = total if best is None else min(best, total)
+        print(f"hcap={hcap}: best {best:.3f}s = {25 / best:.2f} cls/s",
+              flush=True)
 
 
 if __name__ == "__main__":
