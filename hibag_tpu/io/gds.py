@@ -95,7 +95,9 @@ def _parse_streams(data: bytes) -> dict:
             continue
         chunks = [data[cstart:off + size]]
         got = len(chunks[0])
-        while got < total and nxt in blocks:
+        seen = {off}                  # cycle guard: corrupted/crafted next
+        while got < total and nxt in blocks and nxt not in seen:
+            seen.add(nxt)
             bsize, bnxt, bsid, _, bstart = blocks[nxt]
             if bsid is not None:      # head blocks never continue a chain
                 break

@@ -501,6 +501,13 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     N = codes.shape[0]
     A = model.n_alleles
     C = model.n_classifiers
+    # very large haplotype lists exceed the Pallas kernels' VMEM scratch
+    # even at the minimum sample-block depth — route them to the XLA scan
+    # engine instead of failing to compile
+    from ..ops.scoring_pallas import ens_kernel_supported
+    Hp_model = _ru(packed.hap_bits.shape[1], 128)
+    if engine == "pallas" and not ens_kernel_supported(Hp_model):
+        engine = "jnp"
     use_ens_kernel = engine == "pallas"
     if block is None:
         # measured on v5e through the remote tunnel: the dispatch round trip

@@ -274,10 +274,24 @@ def _kernel_ens_acc(hb_ref, w_ref, valid_ref, g_ref,
             total_out[ci, pl.ds(s, 1), :] = total.reshape(1, 1)
 
 
+#: largest padded haplotype count the accumulating kernel accepts: at the
+#: minimum block depth (nb=8) the [H, nb*H] f32 penalty scratch is
+#: 4*8*H^2 bytes — 8 MB at H=512, past the ~16 MB VMEM with the other
+#: buffers beyond that. Callers route larger models to the scan engine.
+ENS_KERNEL_MAX_H = 512
+
+
+def ens_kernel_supported(Hp: int) -> bool:
+    """Whether the accumulating ensemble kernel fits VMEM for this padded
+    haplotype count (predict() falls back to the scan engine otherwise)."""
+    return Hp <= ENS_KERNEL_MAX_H
+
+
 def pick_nb(H: int) -> int:
     """Sample-block width: as deep as VMEM allows for the [nb*H, H] penalty
-    scratch (~2 MB apiece for the three big buffers at nb*H = 4096)."""
-    return max(NB, min(64, 4096 // max(H, 1) * 8 // 8))
+    scratch (~2 MB apiece for the three big buffers at nb*H = 4096),
+    rounded down to a multiple of 8 (lane alignment)."""
+    return max(NB, min(64, 4096 // max(H, 1) // 8 * 8))
 
 
 @functools.partial(jax.jit, static_argnames=("a_rows", "nb", "interpret",

@@ -53,6 +53,9 @@ if __name__ == "__main__":
     mode = "auto"
     if "--mode" in args:
         i = args.index("--mode")
+        if i + 1 >= len(args):
+            sys.exit("usage: ci_full.py [n_classifiers] [--mode "
+                     "auto|host|fused]")
         mode = args[i + 1]
         del args[i:i + 2]
     n = int(args[0]) if args else 10

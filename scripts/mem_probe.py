@@ -1,8 +1,9 @@
 """Compile-only memory probe for the fused trainer at cohort scale.
 
-Lowers fused_grow_batch at the exact shapes of a given cohort size and
-prints XLA's buffer-assignment memory analysis WITHOUT executing — isolates
-whether the N=32768 TPU-worker crash is an HBM blowup vs a runtime fault.
+Lowers fused_grow_segment (the jitted device loop inside the
+fused_grow_batch host driver) at the exact shapes of a given cohort size
+and prints XLA's buffer-assignment memory analysis WITHOUT executing —
+isolates whether a TPU-worker crash is an HBM blowup vs a runtime fault.
 
 Usage: python scripts/mem_probe.py [N] [hcap] [P] [K]
 """
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 from hibag_tpu.models.train import _shape_bucket
-from hibag_tpu.models.train_fused import fused_grow_batch
+from hibag_tpu.models.train_fused import GrowState, fused_grow_segment
 
 
 def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26,
@@ -28,25 +29,27 @@ def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26,
     Pp = _shape_bucket(P)
     L = 128
     s = jax.ShapeDtypeStruct
-    args = dict(
-        bits0=s((K, hcap, L), jnp.float32),
-        freq0=s((K, hcap), jnp.float32),
-        allele0=s((K, hcap), jnp.int32),
-        B=s((K, Np), jnp.float32),
-        real=s((Np,), jnp.bool_),
-        geno=s((Np, Pp), jnp.int8),
-        a1=s((Np,), jnp.int32),
-        a2=s((Np,), jnp.int32),
-        key0=s((K, 2), jnp.uint32),
-        real_snp=s((Pp,), jnp.bool_),
+    state = GrowState(
+        bits=s((K, hcap, L), jnp.float32),
+        freq=s((K, hcap), jnp.float32),
+        allele=s((K, hcap), jnp.int32),
+        geno_sel=s((K, Np, L), jnp.int8),
+        n_snp=s((K,), jnp.int32),
+        snp_order=s((K, L), jnp.int32),
+        pool=s((K, Pp), jnp.bool_),
+        gmax_acc=s((K,), jnp.int32),
+        gmin_loss=s((K,), jnp.float32),
+        done=s((K,), jnp.bool_),
+        key=s((K, 2), jnp.uint32),
+        overflow=s((K,), jnp.int32),
+        steps=s((), jnp.int32),
     )
     print(f"probing N={N} (pad {Np}) P={P} (pad {Pp}) hcap={hcap} K={K} "
           f"mtry={mtry} A={n_alleles} max_steps={max_steps}", flush=True)
-    lowered = fused_grow_batch.lower(
-        args["bits0"], args["freq0"], args["allele0"], args["B"],
-        args["real"], args["geno"], args["a1"], args["a2"], args["key0"],
-        0.0005, float(N), n_alleles, mtry, True, max_steps,
-        real_snp=args["real_snp"])
+    lowered = fused_grow_segment.lower(
+        state, s((), jnp.int32), s((K, Np), jnp.float32),
+        s((Np,), jnp.bool_), s((Np, Pp), jnp.int8), s((Np,), jnp.int32),
+        s((Np,), jnp.int32), 0.0005, float(N), n_alleles, mtry, True)
     print("lowered ok; compiling...", flush=True)
     compiled = lowered.compile()
     ma = compiled.memory_analysis()

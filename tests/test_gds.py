@@ -463,3 +463,23 @@ def test_gds_seq_array_import(tmp_path):
     got_mhc = read_gds(str(p), import_chr="xMHC")
     ref_mhc = read_gds(GDS, import_chr="xMHC")
     np.testing.assert_array_equal(got_mhc.genotype, ref_mhc.genotype)
+
+
+def test_parse_streams_cyclic_continuation_terminates():
+    """A crafted/corrupted file whose zero-payload continuation blocks form
+    a next-pointer cycle must terminate (truncated stream), not hang."""
+    import hibag_tpu.io.gds as G
+
+    def u48(v):
+        return v.to_bytes(6, "little")
+
+    head_off = G._BLOCK_START
+    cont_off = head_off + 22                     # header block: no payload
+    # head block: size 22 (header only), total claims 8 bytes, next -> cont
+    head = u48((1 << 47) | 22) + u48(cont_off) + (7).to_bytes(4, "little") \
+        + (8).to_bytes(6, "little")
+    # continuation block: size 12 (EMPTY payload), next -> itself (cycle)
+    cont = u48(12) + u48(cont_off)
+    data = b"\x00" * G._BLOCK_START + head + cont
+    streams = G._parse_streams(data)
+    assert streams.get(7, b"") == b""            # truncated, but returns

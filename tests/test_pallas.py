@@ -147,3 +147,52 @@ def test_ensemble_accumulate_kernel_direct(nb, A):
                                                                    1e-30)
     np.testing.assert_allclose(np.asarray(ens), ens_ref, rtol=3e-3,
                                atol=1e-8)
+
+
+def test_pick_nb_lane_aligned_and_budgeted():
+    """nb must be a multiple of 8 within the nb*H <= 4096 scratch budget
+    (a stray '* 8 // 8' used to make it a no-op: nb=10 at H=384)."""
+    from hibag_tpu.ops.scoring_pallas import (ENS_KERNEL_MAX_H,
+                                              ens_kernel_supported, pick_nb)
+
+    for H in (64, 128, 192, 256, 384, 512):
+        nb = pick_nb(H)
+        assert nb % 8 == 0 and 8 <= nb <= 64, (H, nb)
+        assert nb * H <= 4096 or nb == 8, (H, nb)
+    assert pick_nb(384) == 8
+    assert ens_kernel_supported(ENS_KERNEL_MAX_H)
+    assert not ens_kernel_supported(ENS_KERNEL_MAX_H + 128)
+
+
+def test_predict_large_h_falls_back_to_scan_engine():
+    """A model whose padded haplotype count exceeds the kernel's VMEM
+    ceiling must predict via the scan engine instead of failing."""
+    import numpy as np
+
+    from hibag_tpu.models.model import AttrBagModel, Classifier
+    from hibag_tpu.models.predict import predict
+
+    rng = np.random.default_rng(0)
+    H, P, A, n = 600, 24, 5, 8        # H=600 -> Hp=640 > 512
+    classifiers = []
+    for k in range(2):
+        freq = rng.dirichlet(np.ones(H))
+        classifiers.append(Classifier(
+            snp_index=np.arange(P, dtype=np.int32),
+            hap_bits=rng.integers(0, 2, (H, P)).astype(np.uint8),
+            hap_freq=freq,
+            hap_allele=np.sort(rng.integers(0, A, H)).astype(np.int32),
+            bootstrap_count=np.ones(16, np.int32),
+            oob_accuracy=0.5))
+    model = AttrBagModel(
+        classifiers=classifiers, locus="A",
+        hla_alleles=np.array([f"{i:02d}:01" for i in range(A)],
+                             dtype=object),
+        snp_id=np.array([f"rs{i}" for i in range(P)], dtype=object),
+        snp_position=np.arange(P, dtype=np.int64),
+        snp_allele=np.array(["A/G"] * P, dtype=object),
+        assembly="hg19")
+    codes = rng.integers(0, 3, (n, P)).astype(np.uint8)
+    res = predict(model, codes, engine="pallas")   # must not raise
+    assert len(res.allele1) == n
+    assert np.all(res.prob > 0)
