@@ -144,11 +144,16 @@ def _init_haplotype(ctx: TrainingContext, B: np.ndarray) -> _HaploState:
     counts = np.zeros(ctx.n_alleles, dtype=np.int64)
     np.add.at(counts, ctx.a1, B)
     np.add.at(counts, ctx.a2, B)
+    # counts sums to 2*SumCnt (each sample contributes both alleles); the
+    # reference scales by 0.5/SumCnt so init freqs sum to 1 — scaling by
+    # 0.5/counts.sum() (an old bug) halved them, which EM convergence
+    # mostly washed out (~5e-12 residual vs the reference kernel) but the
+    # exact scale reaches ~5e-16 (measured, scripts/parity.py)
     total = counts.sum()
     sel = np.nonzero(counts > 0)[0]
     return _HaploState(
         bits=np.zeros((len(sel), 0), dtype=np.uint8),
-        freq=counts[sel] * (0.5 / total),
+        freq=counts[sel] * (1.0 / total),
         allele=sel.astype(np.int32),
     )
 
