@@ -68,6 +68,16 @@ def bed_decode(raw: np.ndarray, n_snp: int, n_samp: int,
     """Decode SNP-major PLINK BED bytes → int8 codes [n_keep, n_samp]."""
     lib = get_lib()
     keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int64)
+    # validate before the (unchecked) C++ kernel: a truncated .bed or a
+    # .bim/.fam mismatch must raise here, not read out of bounds
+    stride = (n_samp + 3) // 4
+    if len(raw) < stride * n_snp:
+        raise ValueError(
+            f"BED payload too short: {len(raw)} bytes < {stride * n_snp} "
+            f"({n_snp} SNPs x {n_samp} samples) — truncated .bed or "
+            "mismatched .bim/.fam?")
+    if len(keep_idx) and (keep_idx.min() < 0 or keep_idx.max() >= n_snp):
+        raise ValueError("keep_idx out of range for n_snp")
     if lib is not None:
         raw = np.ascontiguousarray(raw, dtype=np.uint8)
         out = np.empty((len(keep_idx), n_samp), dtype=np.int8)
@@ -76,7 +86,6 @@ def bed_decode(raw: np.ndarray, n_snp: int, n_samp: int,
         return out
     # NumPy fallback (same LUT approach)
     from .bed import _LUT
-    stride = (n_samp + 3) // 4
     rows = raw[:stride * n_snp].reshape(n_snp, stride)[keep_idx]
     return _LUT[rows].reshape(len(keep_idx), -1)[:, :n_samp].astype(np.int8)
 

@@ -224,7 +224,11 @@ class AttrBagModel:
                 arrays[f"c{i}_bc"] = c.bootstrap_count
         arrays["__header__"] = np.frombuffer(
             json.dumps(header).encode(), dtype=np.uint8)
-        np.savez_compressed(path, **arrays)
+        # write through a file handle: np.savez_compressed appends ".npz"
+        # to bare string paths, which would break save(p)/load(p) pairs
+        # for extension-less checkpoint paths
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "AttrBagModel":

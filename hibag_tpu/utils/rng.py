@@ -113,18 +113,3 @@ class RRng:
             if (counts == 0).any():
                 return counts
 
-    def sample_without_replacement(self, pool: list, m_try: int) -> list:
-        """Partial Fisher–Yates from the tail, mirroring
-        CSamplingWithoutReplace::RandomSelect (src/LibHLA.cpp:949-962).
-
-        Mutates `pool` in place; returns the selected tail slice
-        pool[-m_try:] (in the reference's selection order).
-        """
-        n = len(pool)
-        if m_try > n:
-            m_try = n
-        if m_try < n:
-            for i in range(m_try):
-                k = self.random_num(n - i)
-                pool[k], pool[n - i - 1] = pool[n - i - 1], pool[k]
-        return pool[n - m_try:]

@@ -62,3 +62,15 @@ def test_plots(model, hapmap_geno, hla_types, tmp_path):
     plot_ld_heatmap(r2, out_fn=str(tmp_path / "ld.png"))
     for f in ("m.png", "cr.png", "mod.png", "ld.png"):
         assert os.path.getsize(tmp_path / f) > 5000
+
+
+def test_model_save_load_extensionless_path(tmp_path, model_list):
+    """save(p)/load(p) must pair for paths without .npz (np.savez appends
+    the suffix to bare string paths; the checkpoint writer must not)."""
+    from hibag_tpu.models.model import AttrBagModel
+
+    m = AttrBagModel.from_hibag_obj(model_list["A"], locus="A")
+    m = m.subset_classifiers(2)
+    p = str(tmp_path / "ckpt.model")
+    m.save(p)
+    assert AttrBagModel.load(p).n_classifiers == 2

@@ -86,3 +86,15 @@ def test_vcf_gt_codes_gt_not_first_field():
     g = vcf_gt_codes(cells, 1, 3)
     assert g is not None
     assert g.tolist() == [2, 3, 3]
+
+
+def test_bed_decode_rejects_truncated_payload():
+    """A truncated .bed (or mismatched .bim/.fam counts) must raise a
+    clean error before reaching the unchecked C++ kernel."""
+    from hibag_tpu.io.native import bed_decode
+
+    raw = np.zeros(10, dtype=np.uint8)        # 2 SNPs x 5 samples needs 4
+    with pytest.raises(ValueError, match="too short"):
+        bed_decode(raw[:3], 2, 5, np.array([0, 1]))
+    with pytest.raises(ValueError, match="out of range"):
+        bed_decode(raw, 2, 5, np.array([0, 2]))
