@@ -138,6 +138,10 @@ class _HaploState:
     allele: np.ndarray   # [H] int32 nondecreasing
 
 
+#: diagnostic hook: set to a list to record (cands, ok, acc, loss) per step
+_TRACE = None
+
+
 def _init_haplotype(ctx: TrainingContext, B: np.ndarray) -> _HaploState:
     """Freq-weighted singleton haplotype per observed allele
     (_InitHaplotype, src/LibHLA.cpp:1880-1914)."""
@@ -245,6 +249,9 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
             geno_sel_j, ctx.a1_j, ctx.a2_j, is_oob_j, Bj, ctx.n_alleles)
         acc_c = np.asarray(acc_c)
         loss_c = np.asarray(loss_c, dtype=np.float64)
+        if _TRACE is not None:
+            _TRACE.append((list(cands), cand_ok.copy(), acc_c.copy(),
+                           loss_c.copy()))
 
         # --- reference decision scan (running-max semantics) -------------
         max_acc = global_max_acc
