@@ -68,12 +68,12 @@ def _wait_for_tpu(budget_s: float) -> bool:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() - t0 >= budget_s:
-            return False
         if first:
             _stage("TPU tunnel unresponsive; waiting for recovery "
                    f"(up to {budget_s:.0f}s)")
             first = False
+        if time.time() - t0 >= budget_s:
+            return False
         time.sleep(45)
 
 
@@ -112,7 +112,8 @@ def main():
     global _watchdog_armed
     # only probe when the axon (remote TPU) plugin is on the path — CPU
     # runs must not burn the wait budget
-    if any("axon" in p for p in os.environ.get("PYTHONPATH", "").split(":")):
+    if any(".axon_site" in p
+           for p in os.environ.get("PYTHONPATH", "").split(":")):
         if not _wait_for_tpu(float(os.environ.get(
                 "BENCH_TUNNEL_WAIT_S", "5400"))):
             print(json.dumps({

@@ -467,6 +467,7 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
         with_dosage = type == "response+dosage"
         with_prob = type in ("prob", "response+prob")
     f64 = np.dtype(dtype) == np.float64
+    engine_requested = engine
     if f64:
         engine = "jnp"
         if not jax.config.jax_enable_x64:
@@ -507,6 +508,13 @@ def predict(model: AttrBagModel, data, vote: str = "prob",
     from ..ops.scoring_pallas import ens_kernel_supported
     Hp_model = _ru(packed.hap_bits.shape[1], 128)
     if engine == "pallas" and not ens_kernel_supported(Hp_model):
+        if engine_requested == "pallas":
+            import warnings
+            warnings.warn(
+                f"engine='pallas' requested but the model's padded "
+                f"haplotype count ({Hp_model}) exceeds the ensemble "
+                f"kernel's VMEM ceiling — falling back to the XLA scan "
+                f"engine (engine='jnp')")
         engine = "jnp"
     use_ens_kernel = engine == "pallas"
     if block is None:

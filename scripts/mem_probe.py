@@ -23,8 +23,7 @@ from hibag_tpu.models.train import _shape_bucket
 from hibag_tpu.models.train_fused import GrowState, fused_grow_segment
 
 
-def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26,
-          max_steps=128):
+def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26):
     Np = _shape_bucket(N)
     Pp = _shape_bucket(P)
     L = 128
@@ -45,7 +44,7 @@ def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26,
         steps=s((), jnp.int32),
     )
     print(f"probing N={N} (pad {Np}) P={P} (pad {Pp}) hcap={hcap} K={K} "
-          f"mtry={mtry} A={n_alleles} max_steps={max_steps}", flush=True)
+          f"mtry={mtry} A={n_alleles}", flush=True)
     lowered = fused_grow_segment.lower(
         state, s((), jnp.int32), s((K, Np), jnp.float32),
         s((Np,), jnp.bool_), s((Np, Pp), jnp.int8), s((Np,), jnp.int32),

@@ -193,6 +193,13 @@ def test_predict_large_h_falls_back_to_scan_engine():
         snp_allele=np.array(["A/G"] * P, dtype=object),
         assembly="hg19")
     codes = rng.integers(0, 3, (n, P)).astype(np.uint8)
-    res = predict(model, codes, engine="pallas")   # must not raise
+    # the downgrade warning doubles as the regression guard: on CPU the
+    # Pallas kernel runs in interpret mode (no VMEM limit), so without it
+    # this test would pass even with the fallback deleted
+    with pytest.warns(UserWarning, match="VMEM ceiling"):
+        res = predict(model, codes, engine="pallas")   # must not raise
     assert len(res.allele1) == n
     assert np.all(res.prob > 0)
+    # jnp output for the same model must agree (the fallback is exact)
+    res2 = predict(model, codes, engine="jnp")
+    np.testing.assert_allclose(res.prob, res2.prob, rtol=1e-6)
