@@ -153,11 +153,12 @@ def main():
     # run is the compile warmup (kernel shapes are pinned by hcap/max_steps)
     from hibag_tpu.models.train import train_parallel
     n_cls = 25
-    # hcap=128 fits the live haplotype count of this workload for 24/25
-    # classifiers (the H^2 EM/eval terms scale with the slot capacity, so
-    # smaller slots = faster); on_overflow="retry" retrains the one
-    # overflowing classifier at 2x slots on the identical RNG stream, so
-    # semantics stay exact and the retry cost is included in the timing
+    # hcap=128 fits this workload's live haplotype count with NO overflow
+    # (measured seed 100, post init-frequency-scale fix) — the sweep
+    # (scripts/profile_train.py 96 128 160) measured 26.5 cls/s at 128 vs
+    # 16.4 at 96 (8/25 retries) and 13.6 at 160 (non-pow2 slots tile onto
+    # a larger bucket). on_overflow="retry" keeps semantics exact if a
+    # different seed does overflow; any retry cost lands in the timing
     kw = dict(n_classifiers=n_cls, batch=n_cls, verbose=False,
               with_matching=False, mode="fused", hcap=128, max_steps=192,
               on_overflow="retry")
