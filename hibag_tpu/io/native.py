@@ -26,6 +26,19 @@ def _find_lib() -> Optional[str]:
     ):
         if cand and os.path.exists(cand):
             return cand
+    # fresh checkout: build the library once if the source tree and a
+    # compiler are available (quiet failure -> NumPy fallbacks stay in use)
+    src_dir = os.path.join(here, "native")
+    if os.path.exists(os.path.join(src_dir, "hibag_native.cpp")):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", src_dir], capture_output=True,
+                           timeout=180, check=True)
+        except Exception:
+            return None
+        built = os.path.join(src_dir, "libhibag_native.so")
+        if os.path.exists(built):
+            return built
     return None
 
 
