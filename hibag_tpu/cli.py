@@ -292,7 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "host", "fused"])
     p.add_argument("--hcap", type=int, default=256)
     p.add_argument("--on-overflow", default="warn",
-                   choices=["warn", "retry"])
+                   choices=["warn", "retry", "freeze"])
     p.add_argument("--flank-bp", type=int, default=500_000,
                    help="restrict to SNPs within this flank of the locus "
                         "(0 = keep all)")

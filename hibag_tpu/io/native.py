@@ -27,18 +27,52 @@ def _find_lib() -> Optional[str]:
         if cand and os.path.exists(cand):
             return cand
     # fresh checkout: build the library once if the source tree and a
-    # compiler are available (quiet failure -> NumPy fallbacks stay in use)
+    # compiler are available (on failure the NumPy fallbacks stay in use).
+    # Concurrency-safe: compile to a per-process temp name and os.rename
+    # atomically, so two processes racing (e.g. jax.distributed workers)
+    # never dlopen a half-written .so.  A failed build leaves a marker file
+    # so later processes skip the (up to 180 s) rebuild attempt until the
+    # source changes.
     src_dir = os.path.join(here, "native")
-    if os.path.exists(os.path.join(src_dir, "hibag_native.cpp")):
+    src = os.path.join(src_dir, "hibag_native.cpp")
+    if os.path.exists(src):
         import subprocess
-        try:
-            subprocess.run(["make", "-C", src_dir], capture_output=True,
-                           timeout=180, check=True)
-        except Exception:
-            return None
+        import warnings
         built = os.path.join(src_dir, "libhibag_native.so")
-        if os.path.exists(built):
+        marker = os.path.join(src_dir, ".build_failed")
+        try:
+            if (os.path.exists(marker)
+                    and os.path.getmtime(marker) >= os.path.getmtime(src)):
+                return None
+        except OSError:
+            pass
+        tmp_name = f"libhibag_native.{os.getpid()}.so"
+        tmp = os.path.join(src_dir, tmp_name)
+        try:
+            subprocess.run(["make", "-C", src_dir, f"OUT={tmp_name}"],
+                           capture_output=True, timeout=180, check=True)
+            os.rename(tmp, built)
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
             return built
+        except Exception as exc:
+            err = getattr(exc, "stderr", b"") or b""
+            tail = err.decode("utf-8", "replace").strip()[-400:]
+            warnings.warn(
+                "native library auto-build failed (NumPy fallbacks in "
+                f"use): {exc}" + (f"\n{tail}" if tail else ""))
+            try:
+                with open(marker, "w") as fh:
+                    fh.write(str(exc))
+            except OSError:
+                pass
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
     return None
 
 

@@ -51,6 +51,7 @@ class GrowState(NamedTuple):
     done: jax.Array       # [K] bool
     key: jax.Array        # [K, 2] u32
     overflow: jax.Array   # [K] i32 — accepted steps that dropped haplotypes
+    n_step: jax.Array     # [K] i32 — live growth steps taken (per classifier)
     steps: jax.Array      # [] i32
 
 
@@ -104,11 +105,11 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_alleles", "mtry", "prune"),
+    static_argnames=("n_alleles", "mtry", "prune", "freeze"),
     donate_argnums=(0,))
-def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
+def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
                        rare_prob, total_n, n_alleles, mtry,
-                       prune=True):
+                       prune=True, freeze=False):
     """Advance the fused growth while_loop until every classifier is done
     or ``state.steps`` reaches ``step_limit`` (a dynamic scalar).
 
@@ -118,15 +119,27 @@ def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
     are natural checkpoints (the reference's process farm gets the same
     property from per-classifier job granularity, R/HIBAG.R:293-451).
     State buffers are donated: chaining updates in place on device.
+
+    ``budget`` (dynamic scalar) caps the number of LIVE growth steps each
+    classifier may take (``n_step``), so a resumed classifier keeps exactly
+    its remaining step allowance.  With ``freeze=True``, a classifier whose
+    accepted step would overflow the Hc slot capacity takes NO state update
+    at all — not even its PRNG key split — and is marked done with
+    overflow=1; the host driver re-seats its state in a 2x-Hc buffer and
+    resumes, replaying the frozen step identically (the TPU-native
+    equivalent of the reference's unbounded CHaplotypeList growth,
+    src/LibHLA.cpp:461-515).
     """
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
 
     def step_one(state_k, B_k, is_oob_k):
         (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
-         gmax_acc, gmin_loss, done, key, overflow) = state_k
+         gmax_acc, gmin_loss, done, key, overflow, n_step) = state_k
         Hc = bits.shape[0]
+        was_done = done
 
+        old_key = key
         key, k1 = jax.random.split(key)
         gumbel = jax.random.gumbel(k1, (P,))
         score = jnp.where(pool, gumbel, -jnp.inf)
@@ -181,7 +194,19 @@ def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
         # slot-capacity overflow: live haplotypes beyond Hc get dropped —
         # count it so callers can detect silent model degradation
         dropped = (freq2 > 0).sum() > Hc
-        overflow = overflow + jnp.where(sign & dropped, 1, 0)
+        if freeze:
+            # freeze-at-first-drop: discard the ENTIRE step (key split
+            # included) so the host can re-seat the state at 2x capacity
+            # and replay this exact step losslessly; already-done (frozen)
+            # classifiers must not advance their key either while their
+            # batchmates keep iterating — the resume replays from it
+            frozen = sign & dropped
+            sign = sign & ~frozen
+            key = jnp.where(frozen | was_done, old_key, key)
+            overflow = overflow + frozen.astype(jnp.int32)
+        else:
+            frozen = jnp.zeros((), bool)
+            overflow = overflow + jnp.where(sign & dropped, 1, 0)
         new_geno_sel = jax.lax.dynamic_update_index_in_dim(
             geno_sel, jnp.take(geno_T, chosen, axis=0).astype(jnp.int8),
             n_snp, axis=1)
@@ -199,14 +224,18 @@ def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
         # --- pool updates -------------------------------------------------
         # accepted: chosen SNP + prune-killed leave the pool
         # rejected: the whole drawn selection leaves the pool
+        # frozen: pool untouched — the resumed replay re-draws identically
         kill_scatter = jnp.zeros((P,), bool).at[cand_idx].set(
             jnp.where(sign, kills | (jnp.arange(mtry) == min_i_safe),
                       cand_in_pool))
-        pool = jnp.where(done, pool, pool & ~kill_scatter)
+        pool = jnp.where(done | frozen, pool, pool & ~kill_scatter)
 
-        done = done | (~jnp.any(pool)) | (n_snp >= MAXNUM_SNP)
+        # a frozen step is replayed on resume, so it does not consume budget
+        n_step = n_step + jnp.where(was_done | frozen, 0, 1)
+        done = (done | frozen | (~jnp.any(pool)) | (n_snp >= MAXNUM_SNP)
+                | (n_step >= budget))
         return (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
-                gmax_acc, gmin_loss, done, key, overflow)
+                gmax_acc, gmin_loss, done, key, overflow, n_step)
 
     is_oob = (B == 0) & real[None, :]
 
@@ -217,7 +246,7 @@ def fused_grow_segment(state, step_limit, B, real, geno, a1, a2,
         out = jax.vmap(step_one)(
             (st.bits, st.freq, st.allele, st.geno_sel,
              st.n_snp, st.snp_order, st.pool, st.gmax_acc,
-             st.gmin_loss, st.done, st.key, st.overflow),
+             st.gmin_loss, st.done, st.key, st.overflow, st.n_step),
             B, is_oob)
         return GrowState(*out, steps=st.steps + 1)
 
@@ -239,7 +268,8 @@ RETRY_MAX_HCAP = 4096
 def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                      rare_prob, total_n, n_alleles, mtry, prune=True,
                      max_steps=256, real_snp=None, seg_steps=None,
-                     progress=None):
+                     progress=None, freeze=False, state0=None,
+                     return_state=False):
     """Grow K classifiers on device, in bounded-length dispatch segments.
 
     bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
@@ -252,10 +282,16 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
     SEGMENT_SAMPLE_THRESHOLD samples). ``progress``: optional callback
     ``f(steps_done, n_done, K)`` invoked between segments.
 
+    ``freeze``: stop (rather than truncate) classifiers at their first
+    slot-capacity overflow — see ``fused_grow_segment``.  ``state0``: a
+    ready GrowState to resume from (bits0/freq0/allele0/key0 are then
+    ignored; the state is CONSUMED — its buffers are donated to the device
+    loop).  ``return_state=True`` returns the final GrowState instead of
+    the result tuple (required to re-seat frozen classifiers).
+
     Returns (bits, freq, allele, n_snp, snp_order, oob_acc_count [K],
-    overflow [K]).
+    overflow [K]), or the final GrowState when ``return_state``.
     """
-    K, Hc, L = bits0.shape
     N, P = geno.shape
     if real_snp is None:
         real_snp = jnp.ones((P,), bool)
@@ -269,7 +305,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
     putk = putr = lambda x: x
     try:
         from jax.sharding import NamedSharding, PartitionSpec
-        sh = getattr(bits0, "sharding", None)
+        sh = getattr(state0.bits if state0 is not None else bits0,
+                     "sharding", None)
         if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
             ens_k = NamedSharding(sh.mesh, PartitionSpec(sh.spec[0]))
             rep = NamedSharding(sh.mesh, PartitionSpec())
@@ -278,37 +315,85 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
     except Exception:
         pass
 
-    # the segment jit DONATES the state: copy caller-provided leaves so a
-    # caller's arrays are never invalidated (a second call with the same
-    # key0/bits0 would otherwise hit deleted buffers — TPU INVALID_ARGUMENT)
-    state = GrowState(
-        bits=jnp.array(bits0, copy=True), freq=jnp.array(freq0, copy=True),
-        allele=jnp.array(allele0, copy=True),
-        geno_sel=putk(jnp.full((K, N, L), GENO_MISSING, jnp.int8)),
-        n_snp=putk(jnp.zeros(K, jnp.int32)),
-        snp_order=putk(jnp.full((K, L), -1, jnp.int32)),
-        pool=putk(jnp.tile(jnp.asarray(real_snp)[None, :], (K, 1))),
-        gmax_acc=putk(jnp.zeros(K, jnp.int32)),
-        gmin_loss=putk(jnp.full(K, 1e30, jnp.float32)),
-        done=putk(jnp.zeros(K, bool)),
-        key=jnp.array(key0, copy=True),
-        overflow=putk(jnp.zeros(K, jnp.int32)),
-        steps=putr(jnp.asarray(0, jnp.int32)))
+    if state0 is not None:
+        state = state0
+    else:
+        K, Hc, L = bits0.shape
+        # the segment jit DONATES the state: copy caller-provided leaves so
+        # a caller's arrays are never invalidated (a second call with the
+        # same key0/bits0 would otherwise hit deleted buffers — TPU
+        # INVALID_ARGUMENT)
+        state = GrowState(
+            bits=jnp.array(bits0, copy=True),
+            freq=jnp.array(freq0, copy=True),
+            allele=jnp.array(allele0, copy=True),
+            geno_sel=putk(jnp.full((K, N, L), GENO_MISSING, jnp.int8)),
+            n_snp=putk(jnp.zeros(K, jnp.int32)),
+            snp_order=putk(jnp.full((K, L), -1, jnp.int32)),
+            pool=putk(jnp.tile(jnp.asarray(real_snp)[None, :], (K, 1))),
+            gmax_acc=putk(jnp.zeros(K, jnp.int32)),
+            gmin_loss=putk(jnp.full(K, 1e30, jnp.float32)),
+            done=putk(jnp.zeros(K, bool)),
+            key=jnp.array(key0, copy=True),
+            overflow=putk(jnp.zeros(K, jnp.int32)),
+            n_step=putk(jnp.zeros(K, jnp.int32)),
+            steps=putr(jnp.asarray(0, jnp.int32)))
+    K = state.done.shape[0]
+    budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
         limit = jnp.asarray(min(steps_done + seg_steps, max_steps),
                             jnp.int32)
         state = fused_grow_segment(
-            state, limit, B, real, geno, a1, a2, rare_prob, total_n,
-            n_alleles, mtry, prune)
+            state, limit, budget, B, real, geno, a1, a2, rare_prob,
+            total_n, n_alleles, mtry, prune, freeze)
         steps_done = int(state.steps)        # syncs once per segment
         done = np.asarray(state.done)
         if progress is not None:
             progress(steps_done, int(done.sum()), K)
         if done.all():
             break
+    if return_state:
+        return state
     return (state.bits, state.freq, state.allele, state.n_snp,
             state.snp_order, state.gmax_acc, state.overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("new_hc",),
+                   donate_argnums=(0,))
+def _freeze_reseat(state: GrowState, idx, new_hc: int) -> GrowState:
+    """Gather the frozen classifiers ``idx`` out of a finished freeze-mode
+    state and re-seat them in ``new_hc`` haplotype slots (zero-padded on
+    the H axis), cleared for resumption.  One fused device dispatch — the
+    state never round-trips to the host (geno_sel alone is ~1.3 GB at
+    cohort scale).
+
+    Zero-padding the H axis is lossless: every EM/eval reduction masks
+    empty slots by freq>0 and added exact zeros are summation identities,
+    and the doubling sort keeps live haplotypes in an identical relative
+    order (fa-block indices stay below fb-block indices at any capacity) —
+    so the resumed replay is bitwise the step the classifier would have
+    taken had it started at ``new_hc`` (verified end-to-end by
+    tests/test_fused.py::test_fused_overflow_freeze_matches_retry).
+    """
+    take = lambda x: jnp.take(x, idx, axis=0)
+    kf = idx.shape[0]
+    pad = new_hc - state.bits.shape[1]
+    return GrowState(
+        bits=jnp.pad(take(state.bits), ((0, 0), (0, pad), (0, 0))),
+        freq=jnp.pad(take(state.freq), ((0, 0), (0, pad))),
+        allele=jnp.pad(take(state.allele), ((0, 0), (0, pad))),
+        geno_sel=take(state.geno_sel),
+        n_snp=take(state.n_snp),
+        snp_order=take(state.snp_order),
+        pool=take(state.pool),
+        gmax_acc=take(state.gmax_acc),
+        gmin_loss=take(state.gmin_loss),
+        done=jnp.zeros((kf,), bool),
+        key=take(state.key),
+        overflow=jnp.zeros((kf,), jnp.int32),
+        n_step=take(state.n_step),
+        steps=jnp.zeros((), jnp.int32))
 
 
 def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
@@ -329,10 +414,16 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     exceeds the ``hcap`` slot capacity (the reference keeps every haplotype,
     so an overflow deviates from exact semantics by dropping the lowest-
     frequency ones). "warn" (default) keeps the truncated classifier;
-    "retry" retrains ONLY the overflowed classifiers at doubled hcap
-    (identical per-classifier RNG streams, so non-overflowed results are
-    unaffected) until clean or hcap reaches 1024. Retries cost one extra
-    compile per hcap bucket — significant under a remote-compile tunnel.
+    "retry" retrains ONLY the overflowed classifiers FROM SCRATCH at
+    doubled hcap (identical per-classifier RNG streams, so non-overflowed
+    results are unaffected) until clean or hcap reaches RETRY_MAX_HCAP;
+    "freeze" produces bitwise-identical results to "retry" but NEVER
+    re-runs completed growth steps — overflowed classifiers stop at their
+    first dropped haplotype with their PRNG key un-advanced, are re-seated
+    on device in a 2x-hcap buffer, and resume from the frozen step
+    (tests/test_fused.py::test_fused_overflow_freeze_matches_retry).
+    Both exact modes cost one compile per hcap bucket — significant under
+    a remote-compile tunnel; "freeze" additionally avoids retraining work.
     """
     from .model import Classifier
     from .train import _init_haplotype
@@ -374,6 +465,27 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         put_k = put_r = jnp.asarray
 
     real_snp = np.arange(ctx.n_snp_pad) < P
+
+    def _mk(k, bits_k, freq_k, allele_k, ns, snp_order_k, acc_k):
+        freq_k = np.asarray(freq_k, dtype=np.float64)
+        sel = freq_k > 0
+        # order haplotypes by allele for the standard grouped layout
+        order = np.argsort(allele_k[sel], kind="stable")
+        n_oob = int((Bs_real[k] == 0).sum())
+        return Classifier(
+            snp_index=snp_order_k[:ns].astype(np.int32),
+            hap_bits=bits_k[sel][order][:, :ns].astype(np.uint8),
+            hap_freq=freq_k[sel][order],
+            hap_allele=allele_k[sel][order].astype(np.int32),
+            bootstrap_count=Bs_real[k].astype(np.int32),
+            oob_accuracy=float(0.5 * acc_k / max(n_oob, 1)))
+
+    if on_overflow == "freeze":
+        return _train_freeze(
+            ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
+            rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
+            progress, put_k, put_r, _mk)
+
     bits, freq, allele, n_snp, snp_order, acc_cnt, overflow = \
         fused_grow_batch(
             put_k(jnp.asarray(bits0)), put_k(jnp.asarray(freq0)),
@@ -412,7 +524,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                 f"hcap={hcap} overflowed on {int((overflow > 0).sum())}/{K} "
                 f"classifiers ({int(overflow.sum())} accepted steps dropped "
                 f"low-frequency haplotypes); raise hcap (or pass "
-                f"on_overflow='retry') for exact semantics")
+                f"on_overflow='freeze') for exact semantics")
 
     bits = np.asarray(bits)
     freq = np.asarray(freq, dtype=np.float64)
@@ -425,17 +537,82 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         if k in retry_map:
             out.append(retry_map[k])
             continue
-        ns = int(n_snp[k])
-        sel = freq[k] > 0
-        # order haplotypes by allele for the standard grouped layout
-        order = np.argsort(allele[k][sel], kind="stable")
-        n_oob = int((Bs_real[k] == 0).sum())
-        out.append(Classifier(
-            snp_index=snp_order[k, :ns].astype(np.int32),
-            hap_bits=bits[k][sel][order][:, :ns].astype(np.uint8),
-            hap_freq=freq[k][sel][order],
-            hap_allele=allele[k][sel][order].astype(np.int32),
-            bootstrap_count=Bs_real[k].astype(np.int32),
-            oob_accuracy=float(0.5 * acc_cnt[k] / max(n_oob, 1)),
-        ))
+        out.append(_mk(k, bits[k], freq[k], allele[k], int(n_snp[k]),
+                       snp_order[k], int(acc_cnt[k])))
     return out
+
+
+def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
+                  rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
+                  progress, put_k, put_r, mk):
+    """on_overflow="freeze" driver: grow with freeze-at-first-drop, then
+    repeatedly re-seat the frozen classifiers at doubled capacity and
+    resume them, never re-running a completed growth step.  Bitwise equal
+    to on_overflow="retry" (which retrains from scratch at 2x hcap) because
+    freezing happens at the FIRST drop with the PRNG key un-advanced —
+    see ``_freeze_reseat``.  Equivalent reference behavior: the unbounded
+    haplotype list growth in src/LibHLA.cpp:461-515."""
+    import warnings
+
+    N = ctx.n_samp
+    Bs_f = Bs.astype(np.float32)
+    common = (put_r(jnp.asarray(real)), put_r(ctx.geno_j),
+              put_r(ctx.a1_j), put_r(ctx.a2_j))
+    grow_kw = dict(seg_steps=seg_steps, progress=progress,
+                   real_snp=put_r(jnp.asarray(real_snp)),
+                   return_state=True)
+    state = fused_grow_batch(
+        put_k(jnp.asarray(bits0)), put_k(jnp.asarray(freq0)),
+        put_k(jnp.asarray(allele0)), put_k(jnp.asarray(Bs_f)), *common,
+        put_k(jnp.asarray(keys)), rare_prob, float(N), ctx.n_alleles,
+        mtry, prune, max_steps, freeze=True, **grow_kw)
+
+    results = {}
+    cur = np.arange(K)  # original classifier index per current state row
+    hcap_cur = hcap
+    freezing = True
+    while True:
+        ov = np.asarray(state.overflow)
+        fin = np.flatnonzero(ov == 0) if freezing else np.arange(len(ov))
+        if fin.size:
+            host = [np.asarray(getattr(state, f)) for f in
+                    ("bits", "freq", "allele", "n_snp", "snp_order",
+                     "gmax_acc")]
+            for i in fin:
+                k = int(cur[i])
+                if k not in results:  # duplicates from mesh padding
+                    results[k] = mk(k, host[0][i], host[1][i], host[2][i],
+                                    int(host[3][i]), host[4][i],
+                                    int(host[5][i]))
+        if not freezing:
+            if (ov > 0).any():
+                warnings.warn(
+                    f"hcap={hcap_cur} overflowed on "
+                    f"{int((ov > 0).sum())} classifiers at the "
+                    f"RETRY_MAX_HCAP ceiling ({int(ov.sum())} accepted "
+                    f"steps dropped low-frequency haplotypes)")
+            break
+        rows = np.flatnonzero(ov > 0)
+        if rows.size == 0:
+            break
+        if hcap_cur < RETRY_MAX_HCAP:
+            hcap_cur *= 2
+        else:
+            # at the capacity ceiling: finish the frozen classifiers with
+            # truncation allowed (same terminal behavior as "retry")
+            freezing = False
+        if mesh is not None and rows.size % mesh.size:
+            # pad to a mesh multiple by duplicating rows: identical state +
+            # RNG trains identical classifiers; extras are dropped above
+            rows = np.resize(rows, rows.size + (-rows.size % mesh.size))
+        state = _freeze_reseat(state, put_r(jnp.asarray(rows, jnp.int32)),
+                               hcap_cur)
+        if mesh is not None:
+            state = GrowState(*(put_k(x) for x in state[:-1]),
+                              steps=put_r(state.steps))
+        cur = cur[rows]
+        state = fused_grow_batch(
+            None, None, None, put_k(jnp.asarray(Bs_f[cur])), *common,
+            None, rare_prob, float(N), ctx.n_alleles, mtry, prune,
+            max_steps, freeze=freezing, state0=state, **grow_kw)
+    return [results[k] for k in range(K)]

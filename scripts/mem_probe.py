@@ -41,12 +41,13 @@ def probe(N=32768, hcap=256, P=1321, K=4, mtry=36, n_alleles=26):
         done=s((K,), jnp.bool_),
         key=s((K, 2), jnp.uint32),
         overflow=s((K,), jnp.int32),
+        n_step=s((K,), jnp.int32),
         steps=s((), jnp.int32),
     )
     print(f"probing N={N} (pad {Np}) P={P} (pad {Pp}) hcap={hcap} K={K} "
           f"mtry={mtry} A={n_alleles}", flush=True)
     lowered = fused_grow_segment.lower(
-        state, s((), jnp.int32), s((K, Np), jnp.float32),
+        state, s((), jnp.int32), s((), jnp.int32), s((K, Np), jnp.float32),
         s((Np,), jnp.bool_), s((Np, Pp), jnp.int8), s((Np,), jnp.int32),
         s((Np,), jnp.int32), 0.0005, float(N), n_alleles, mtry, True)
     print("lowered ok; compiling...", flush=True)

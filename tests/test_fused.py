@@ -178,3 +178,44 @@ def test_fused_overflow_retry_matches_big_hcap():
     for a, b in zip(small, big):
         np.testing.assert_array_equal(a.snp_index, b.snp_index)
         np.testing.assert_allclose(a.hap_freq, b.hap_freq, rtol=1e-6)
+
+
+def test_fused_overflow_freeze_matches_retry():
+    """on_overflow='freeze' stops overflowed classifiers at their first
+    dropped haplotype (PRNG key un-advanced), re-seats them on device at
+    doubled hcap and resumes — it must be BITWISE identical to
+    on_overflow='retry' (from-scratch retraining at doubled hcap, itself
+    validated against direct big-hcap training above), with no warning."""
+    import warnings
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic(seed=9, n=48, p=64, n_alleles=6)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        frz = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6,
+                                max_steps=30, on_overflow="freeze")
+    assert not [w for w in caught if "hcap" in str(w.message)]
+    retry = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6,
+                              max_steps=30, on_overflow="retry")
+    for a, b in zip(frz, retry):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_array_equal(a.hap_freq, b.hap_freq)
+        np.testing.assert_array_equal(a.hap_allele, b.hap_allele)
+        np.testing.assert_array_equal(a.hap_bits, b.hap_bits)
+        assert a.oob_accuracy == b.oob_accuracy
+        assert a.n_haplo > 6  # the resume actually grew past the old cap
+
+
+def test_fused_freeze_noop_without_overflow():
+    """With ample hcap the freeze path must be a bitwise no-op relative to
+    the plain single-run path (the per-classifier step budget and freeze
+    gating cannot perturb a non-overflowing trajectory)."""
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic(seed=5)
+    plain = train_fused_batch(ctx, K=3, seed=13, mtry=7, hcap=32,
+                              max_steps=40)
+    frz = train_fused_batch(ctx, K=3, seed=13, mtry=7, hcap=32,
+                            max_steps=40, on_overflow="freeze")
+    for a, b in zip(plain, frz):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_array_equal(a.hap_freq, b.hap_freq)
+        assert a.oob_accuracy == b.oob_accuracy
