@@ -166,7 +166,8 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
                     mtry: int, prune: bool = True,
                     verbose_detail: bool = False,
                     dtype=np.float32,
-                    em_iter_seg: Optional[int] = None) -> Classifier:
+                    em_iter_seg: Optional[int] = None,
+                    eval_mode: str = "device") -> Classifier:
     """Grow one classifier: greedy forward SNP selection
     (CVariableSelection::Search, src/LibHLA.cpp:1981-2122).
 
@@ -177,6 +178,14 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
     one dispatch). Set at extreme (N, haplotype-count) scales where a
     single EM-to-convergence execution outruns the dispatch environment —
     results are bitwise identical either way.
+    eval_mode: "device" (production) scores candidates with the factorized
+    TPU kernel; "ordered" (parity mode, needs the native lib) scores them
+    with the reference's EXACT serial summation order so that exact
+    floating ties in the accept decision resolve identically to the
+    compiled reference kernel (_BestGuess_def/_PostProb_def traversal,
+    src/LibHLA.cpp:1428-1560; serial in-bag sum src/LibHLA.cpp:1964-1977).
+    Decisions can differ from "device" only at those ties — see
+    docs/DEVIATIONS.md #3 and tests/test_refparity.py.
     """
     N, P = ctx.n_samp, ctx.n_snp
     Np = ctx.n_samp_pad
@@ -230,25 +239,42 @@ def grow_classifier(ctx: TrainingContext, B: np.ndarray, rng: RRng,
         cand_ok[Cm:] = False
         afreq = np.where(cand_ok, allele_cnt / np.maximum(valid_cnt, 1), 0.5)
 
-        # EM for all candidates at once (pair matching fused into the
-        # E-step chunk scan), then rare-haplotype pruning
-        em_fn = em_all_candidates if em_iter_seg is None else \
-            functools.partial(em_all_candidates_segmented,
-                              iter_seg=em_iter_seg)
-        fA, fB, _, _ = em_fn(
-            freq_j, valid_j, bits_j, allele_j, geno_sel_j, ctx.a1_j,
-            ctx.a2_j, Bj, jnp.asarray(g_cand),
-            jnp.asarray(afreq.astype(dtype)), float(N),
-            reltol=float(np.sqrt(np.finfo(dtype).eps)))
-        fA, fB = erase_rare(fA, fB, rare_prob)
+        if eval_mode == "ordered":
+            # parity mode: the WHOLE candidate step (EM, erase, eval) runs
+            # in the native ordered-reduction replica so exact floating
+            # ties resolve as the reference's scalar "base" target does
+            from ..io.native import ordered_step
+            res = ordered_step(
+                state.bits, state.freq, state.allele, g_cand[:, :N],
+                geno_sel[:N], ctx.a1, ctx.a2, (B == 0),
+                B.astype(np.float64), ctx.n_alleles, float(N), rare_prob)
+            if res is None:
+                raise RuntimeError(
+                    "eval_mode='ordered' requires the native library "
+                    "(make -C native)")
+            _, fA, fB, acc_c, loss_c = res
+            loss_c = loss_c.astype(np.float64)
+        else:
+            # EM for all candidates at once (pair matching fused into the
+            # E-step chunk scan), then rare-haplotype pruning
+            em_fn = em_all_candidates if em_iter_seg is None else \
+                functools.partial(em_all_candidates_segmented,
+                                  iter_seg=em_iter_seg)
+            fA, fB, _, _ = em_fn(
+                freq_j, valid_j, bits_j, allele_j, geno_sel_j, ctx.a1_j,
+                ctx.a2_j, Bj, jnp.asarray(g_cand),
+                jnp.asarray(afreq.astype(dtype)), float(N),
+                reltol=float(np.sqrt(np.finfo(dtype).eps)))
+            fA, fB = erase_rare(fA, fB, rare_prob)
 
-        # evaluate OOB accuracy + in-bag log-lik for all candidates
-        new_col = jnp.asarray(len(snp_sel), dtype=jnp.int32)
-        acc_c, loss_c = evaluate_candidates(
-            bits_j, allele_j, new_col, fA, fB, jnp.asarray(g_cand),
-            geno_sel_j, ctx.a1_j, ctx.a2_j, is_oob_j, Bj, ctx.n_alleles)
-        acc_c = np.asarray(acc_c)
-        loss_c = np.asarray(loss_c, dtype=np.float64)
+            # evaluate OOB accuracy + in-bag log-lik for all candidates
+            new_col = jnp.asarray(len(snp_sel), dtype=jnp.int32)
+            acc_c, loss_c = evaluate_candidates(
+                bits_j, allele_j, new_col, fA, fB, jnp.asarray(g_cand),
+                geno_sel_j, ctx.a1_j, ctx.a2_j, is_oob_j, Bj,
+                ctx.n_alleles)
+            acc_c = np.asarray(acc_c)
+            loss_c = np.asarray(loss_c, dtype=np.float64)
         if _TRACE is not None:
             _TRACE.append((list(cands), cand_ok.copy(), acc_c.copy(),
                            loss_c.copy()))
@@ -512,6 +538,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    first_id: int = 0, mode: str = "auto",
                    hcap: int = 256, max_steps: int = 256,
                    on_overflow: str = "warn", seg_steps: Optional[int] = None,
+                   freeze_max_batch: Optional[int] = None,
                    resume: bool = False) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
@@ -573,7 +600,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                                     hcap=hcap, first_id=k0,
                                     max_steps=max_steps, mesh=mesh,
                                     seg_steps=seg_steps, progress=prog,
-                                    on_overflow=on_overflow)
+                                    on_overflow=on_overflow,
+                                    freeze_max_batch=freeze_max_batch)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]

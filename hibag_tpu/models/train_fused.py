@@ -359,9 +359,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
             state.snp_order, state.gmax_acc, state.overflow)
 
 
-@functools.partial(jax.jit, static_argnames=("new_hc",),
-                   donate_argnums=(0,))
-def _freeze_reseat(state: GrowState, idx, new_hc: int) -> GrowState:
+def _freeze_reseat_impl(state: GrowState, idx, new_hc: int) -> GrowState:
     """Gather the frozen classifiers ``idx`` out of a finished freeze-mode
     state and re-seat them in ``new_hc`` haplotype slots (zero-padded on
     the H axis), cleared for resumption.  One fused device dispatch — the
@@ -396,11 +394,22 @@ def _freeze_reseat(state: GrowState, idx, new_hc: int) -> GrowState:
         steps=jnp.zeros((), jnp.int32))
 
 
+#: donating variant (single consumer of the parent state)
+_freeze_reseat = functools.partial(
+    jax.jit, static_argnames=("new_hc",), donate_argnums=(0,))(
+        _freeze_reseat_impl)
+#: non-donating variant: used when the parent state feeds MULTIPLE resume
+#: chunks (freeze_max_batch), so earlier chunks must not invalidate it
+_freeze_reseat_keep = functools.partial(
+    jax.jit, static_argnames=("new_hc",))(_freeze_reseat_impl)
+
+
 def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       hcap: int = 256, first_id: int = 0,
                       max_steps: int = 256, mesh=None,
                       seg_steps=None, progress=None,
-                      on_overflow: str = "warn", _ids=None) -> list:
+                      on_overflow: str = "warn", _ids=None,
+                      freeze_max_batch=None) -> list:
     """Train K classifiers with the fused device loop; returns Classifiers.
 
     With ``mesh`` (a 1-D jax.sharding.Mesh with axis "ens"), the classifier
@@ -484,7 +493,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         return _train_freeze(
             ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
             rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
-            progress, put_k, put_r, _mk)
+            progress, put_k, put_r, _mk, freeze_max_batch=freeze_max_batch)
 
     bits, freq, allele, n_snp, snp_order, acc_cnt, overflow = \
         fused_grow_batch(
@@ -544,14 +553,22 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
 
 def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                   rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
-                  progress, put_k, put_r, mk):
+                  progress, put_k, put_r, mk, freeze_max_batch=None):
     """on_overflow="freeze" driver: grow with freeze-at-first-drop, then
     repeatedly re-seat the frozen classifiers at doubled capacity and
     resume them, never re-running a completed growth step.  Bitwise equal
     to on_overflow="retry" (which retrains from scratch at 2x hcap) because
     freezing happens at the FIRST drop with the PRNG key un-advanced —
     see ``_freeze_reseat``.  Equivalent reference behavior: the unbounded
-    haplotype list growth in src/LibHLA.cpp:461-515."""
+    haplotype list growth in src/LibHLA.cpp:461-515.
+
+    ``freeze_max_batch``: cap on the number of classifiers per resume
+    dispatch batch.  At extreme (N, hcap) scales a K=4 batch at hcap=1024
+    exceeds the remote-TPU dispatch environment's per-execution ceiling
+    even with seg_steps=1 (COVERAGE.md) — capping the resume batch keeps
+    each doubled-capacity dispatch inside it while the pre-freeze work
+    still runs fully batched at the base hcap.
+    """
     import warnings
 
     N = ctx.n_samp
@@ -568,10 +585,11 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
         mtry, prune, max_steps, freeze=True, **grow_kw)
 
     results = {}
-    cur = np.arange(K)  # original classifier index per current state row
-    hcap_cur = hcap
-    freezing = True
-    while True:
+    # worklist of partially-trained batches: (state, original-index map,
+    # current hcap, still-freezing?)
+    items = [(state, np.arange(K), hcap, True)]
+    while items:
+        state, cur, hcap_cur, freezing = items.pop()
         ov = np.asarray(state.overflow)
         fin = np.flatnonzero(ov == 0) if freezing else np.arange(len(ov))
         if fin.size:
@@ -580,7 +598,7 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                      "gmax_acc")]
             for i in fin:
                 k = int(cur[i])
-                if k not in results:  # duplicates from mesh padding
+                if k not in results:  # duplicates from bucket padding
                     results[k] = mk(k, host[0][i], host[1][i], host[2][i],
                                     int(host[3][i]), host[4][i],
                                     int(host[5][i]))
@@ -591,28 +609,49 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                     f"{int((ov > 0).sum())} classifiers at the "
                     f"RETRY_MAX_HCAP ceiling ({int(ov.sum())} accepted "
                     f"steps dropped low-frequency haplotypes)")
-            break
+            continue
         rows = np.flatnonzero(ov > 0)
         if rows.size == 0:
-            break
+            continue
         if hcap_cur < RETRY_MAX_HCAP:
             hcap_cur *= 2
         else:
             # at the capacity ceiling: finish the frozen classifiers with
             # truncation allowed (same terminal behavior as "retry")
             freezing = False
-        if mesh is not None and rows.size % mesh.size:
-            # pad to a mesh multiple by duplicating rows: identical state +
-            # RNG trains identical classifiers; extras are dropped above
-            rows = np.resize(rows, rows.size + (-rows.size % mesh.size))
-        state = _freeze_reseat(state, put_r(jnp.asarray(rows, jnp.int32)),
-                               hcap_cur)
-        if mesh is not None:
-            state = GrowState(*(put_k(x) for x in state[:-1]),
-                              steps=put_r(state.steps))
-        cur = cur[rows]
-        state = fused_grow_batch(
-            None, None, None, put_k(jnp.asarray(Bs_f[cur])), *common,
-            None, rare_prob, float(N), ctx.n_alleles, mtry, prune,
-            max_steps, freeze=freezing, state0=state, **grow_kw)
+        cap = freeze_max_batch or rows.size
+        chunks = [rows[i:i + cap] for i in range(0, rows.size, cap)]
+        for ci, chunk in enumerate(chunks):
+            # pad each resume chunk to a power-of-two (and mesh-multiple)
+            # bucket by duplicating rows: identical state + RNG trains
+            # identical classifiers (extras are dropped above), and
+            # bucketed shapes keep the number of compiled (K, hcap)
+            # executables small — each fresh shape costs a full remote
+            # compile under the TPU tunnel
+            bucket = 1
+            while bucket < chunk.size:
+                bucket *= 2
+            if freeze_max_batch:
+                bucket = min(bucket, max(freeze_max_batch, 1))
+                bucket = max(bucket, chunk.size)
+            if mesh is not None:
+                bucket = max(bucket, mesh.size)
+                if bucket % mesh.size:
+                    bucket *= mesh.size  # mesh.size not a power of two
+            if chunk.size != bucket:
+                chunk = np.resize(chunk, bucket)
+            # donate the parent state only on its final consumer
+            reseat = (_freeze_reseat if ci == len(chunks) - 1
+                      else _freeze_reseat_keep)
+            sub = reseat(state, put_r(jnp.asarray(chunk, jnp.int32)),
+                         hcap_cur)
+            if mesh is not None:
+                sub = GrowState(*(put_k(x) for x in sub[:-1]),
+                                steps=put_r(sub.steps))
+            sub_cur = cur[chunk]
+            sub = fused_grow_batch(
+                None, None, None, put_k(jnp.asarray(Bs_f[sub_cur])),
+                *common, None, rare_prob, float(N), ctx.n_alleles, mtry,
+                prune, max_steps, freeze=freezing, state0=sub, **grow_kw)
+            items.append((sub, sub_cur, hcap_cur, freezing))
     return [results[k] for k in range(K)]

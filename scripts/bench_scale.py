@@ -68,10 +68,14 @@ def train_6loci(n_classifiers: int = 100):
         fg = geno.subset(snp_mask=np.isin(geno.snp_id.astype(str),
                                           ids.astype(str)))
         t0 = time.time()
+        # hcap must stay a multiple of 128: 192 tiles the H^2 EM terms
+        # onto 256 lanes (measured 4x cost, CLAUDE.md round-3 sweep);
+        # freeze-resume covers the loci that need more than 128 slots
         m = ht.train_parallel(hla, fg, n_classifiers=n_classifiers,
                               batch=min(n_classifiers, 50), seed=100,
                               verbose=False, with_matching=False,
-                              mode="fused", hcap=192, max_steps=192)
+                              mode="fused", hcap=128, max_steps=192,
+                              on_overflow="freeze")
         dt = time.time() - t0
         oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
         print(json.dumps({
@@ -202,7 +206,8 @@ def train_drb1_500(n_classifiers: int = 500):
     t0 = time.time()
     m = ht.train_parallel(hla, fg, n_classifiers=n_classifiers, batch=50,
                           seed=100, verbose=False, with_matching=False,
-                          mode="fused", hcap=192, max_steps=192)
+                          mode="fused", hcap=128, max_steps=192,
+                          on_overflow="freeze")
     dt = time.time() - t0
     oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
     print(json.dumps({

@@ -133,8 +133,13 @@ def write_model_dump(model, path: str, n_samp: int = 60) -> None:
 
 
 def compare_train(locus: str, seed: int, ncls: int,
-                  target: str = "base") -> dict:
-    """Train `ncls` classifiers in both engines on the same RNG stream."""
+                  target: str = "base", eval_mode: str = "device") -> dict:
+    """Train `ncls` classifiers in both engines on the same RNG stream.
+
+    eval_mode="ordered" scores candidates with the reference's exact
+    serial-summation order (native hibag_ordered_eval) so exact floating
+    ties in the accept decision resolve identically to target "base" —
+    the measurement VERDICT r3 item 5 asked for."""
     _setup_jax()
     from hibag_tpu.models.train import grow_classifier
     from hibag_tpu.utils.rng import RRng
@@ -149,10 +154,11 @@ def compare_train(locus: str, seed: int, ncls: int,
 
     rng = RRng(seed)
     res = {"locus": locus, "seed": seed, "ncls": ncls, "target": target,
-           "classifiers": []}
+           "eval_mode": eval_mode, "classifiers": []}
     for k in range(ncls):
         B = rng.bootstrap_counts(ctx.n_samp)
-        c = grow_classifier(ctx, B, rng, mtry, prune=True, dtype=np.float64)
+        c = grow_classifier(ctx, B, rng, mtry, prune=True, dtype=np.float64,
+                            eval_mode=eval_mode)
         r = refc[k]
         prefix = 0
         for a, b in zip(r["snpidx"], c.snp_index):
@@ -282,20 +288,22 @@ def compare_rng(seed: int = 100, n: int = 5000) -> dict:
 
 def sweep(loci=("A", "B", "C", "DQA1", "DQB1", "DRB1"),
           seeds=(100, 101, 102),
-          ncls: int = 2, target: str = "base") -> dict:
+          ncls: int = 2, target: str = "base",
+          eval_mode: str = "device") -> dict:
     """Broad trajectory-parity sweep (the statistic DEVIATIONS.md #3 and
-    tests/test_refparity.py cite). Writes docs/PARITY_SWEEP.json."""
+    tests/test_refparity.py cite). Writes docs/PARITY_SWEEP.json (device
+    eval) or docs/PARITY_SWEEP_ORDERED.json (eval_mode="ordered")."""
     rows = []
     for locus in loci:
         for seed in seeds:
-            r = compare_train(locus, seed, ncls, target)
+            r = compare_train(locus, seed, ncls, target, eval_mode)
             for k, c in enumerate(r["classifiers"]):
                 rows.append({"locus": locus, "seed": seed, "classifier": k,
                              **c})
             print(json.dumps(rows[-ncls:]), file=sys.stderr, flush=True)
     full = [r for r in rows if r["snpidx_equal"]]
     out = {
-        "target": target, "ncls_per_seed": ncls,
+        "target": target, "eval_mode": eval_mode, "ncls_per_seed": ncls,
         "n_combos": len(rows),
         "n_full_trajectory_identical": len(full),
         "full_all_hapset_equal": all(r.get("hapset_equal") for r in full),
@@ -305,7 +313,9 @@ def sweep(loci=("A", "B", "C", "DQA1", "DQB1", "DRB1"),
         "prefix_lengths": [r["common_prefix"] for r in rows],
         "rows": rows,
     }
-    path = os.path.join(REPO, "docs", "PARITY_SWEEP.json")
+    name = ("PARITY_SWEEP.json" if eval_mode == "device"
+            else "PARITY_SWEEP_ORDERED.json")
+    path = os.path.join(REPO, "docs", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     return out
@@ -321,17 +331,21 @@ def main(argv):
     ap.add_argument("--target", default="base")
     ap.add_argument("--missing", type=float, default=0.0)
     ap.add_argument("--vote", default="prob", choices=["prob", "majority"])
+    ap.add_argument("--eval", dest="eval_mode", default="device",
+                    choices=["device", "ordered"])
     args = ap.parse_args(argv)
     if ensure_built() is None:
         print(json.dumps({"error": "build failed"}))
         return 1
     if args.mode == "train":
-        res = compare_train(args.locus, args.seed, args.ncls, args.target)
+        res = compare_train(args.locus, args.seed, args.ncls, args.target,
+                            args.eval_mode)
     elif args.mode == "predict":
         res = compare_predict(args.locus, args.target,
                               missing=args.missing, vote=args.vote)
     elif args.mode == "sweep":
-        res = dict(sweep(ncls=args.ncls, target=args.target))
+        res = dict(sweep(ncls=args.ncls, target=args.target,
+                         eval_mode=args.eval_mode))
         res.pop("rows", None)
     else:
         res = compare_rng(args.seed)

@@ -122,6 +122,45 @@ static int run_train(int argc, char **argv)
     stub_set_seed(seed);
 
     bool detail = getenv("PARITY_DETAIL") != NULL;
+    bool trace_pool = getenv("PARITY_TRACE_POOL") != NULL;
+    /* wrapper that logs every candidate selection + pool mutation so the
+     * Python side can reconcile per-step pool bookkeeping draw-for-draw
+     * (CBaseSampling virtual interface, reference LibHLA.h:230-248) */
+    struct LoggingSampler : public CBaseSampling {
+        CSamplingWithoutReplace inner;
+        int step = 0;
+        int TotalNum() const override {
+            return const_cast<CSamplingWithoutReplace&>(inner).TotalNum();
+        }
+        void RandomSelect(int m_try) override {
+            inner.RandomSelect(m_try);
+            fprintf(stderr, "POOL step %d total %d sel", step++,
+                    inner.TotalNum());
+            for (int i = 0; i < inner.NumOfSelection(); i++)
+                fprintf(stderr, " %d", inner[i]);
+            fprintf(stderr, "\n");
+        }
+        int NumOfSelection() const override {
+            return const_cast<CSamplingWithoutReplace&>(
+                inner).NumOfSelection();
+        }
+        void Remove(int idx) override {
+            fprintf(stderr, "POOL remove %d\n", inner[idx]);
+            inner.Remove(idx);
+        }
+        void RemoveSelection() override {
+            fprintf(stderr, "POOL remove_selection\n");
+            inner.RemoveSelection();
+        }
+        void RemoveFlag() override {
+            fprintf(stderr, "POOL remove_flag:");
+            for (int i = 0; i < inner.NumOfSelection(); i++)
+                if (inner[i] < 0) fprintf(stderr, " %d", i);
+            fprintf(stderr, "\n");
+            inner.RemoveFlag();
+        }
+        int &operator[](int idx) override { return inner[idx]; }
+    };
     CAttrBag_Model model;
     model.InitTraining(n_snp, n_samp, geno.data(), n_hla,
                        h1.data(), h2.data());
@@ -131,12 +170,20 @@ static int run_train(int argc, char **argv)
             /* per-classifier loop (the public NewClassifierBootstrap+Grow
              * pair BuildClassifiers uses) so per-classifier RNG consumption
              * and accepted-step detail lines can be traced */
-            CSamplingWithoutReplace sampler;
+            LoggingSampler logging_sampler;
+            CSamplingWithoutReplace plain_sampler;
             for (int k = 0; k < nclassifier; k++) {
                 long d0 = g_draws;
                 CAttrBag_Classifier *c = model.NewClassifierBootstrap();
                 long d1 = g_draws;
-                sampler.Init(n_snp);
+                CBaseSampling &sampler = trace_pool
+                    ? (CBaseSampling&)logging_sampler
+                    : (CBaseSampling&)plain_sampler;
+                if (trace_pool) {
+                    logging_sampler.inner.Init(n_snp);
+                    logging_sampler.step = 0;
+                } else
+                    plain_sampler.Init(n_snp);
                 fprintf(stderr, "== classifier %d (bootstrap draws %ld)\n",
                         k, d1 - d0);
                 c->Grow(sampler, mtry, true, false, true);

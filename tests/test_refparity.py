@@ -82,6 +82,33 @@ def test_train_trajectory_parity(refparity_bin, locus, seed, ncls):
         assert c["acc_equal"], (k, c)
 
 
+@pytest.mark.parametrize("locus,seed", [
+    ("B", 101),     # the round-3 tie-flip anatomy combo (DEVIATIONS.md #3)
+    ("C", 101),
+])
+def test_train_trajectory_parity_ordered_bitwise(refparity_bin, locus,
+                                                 seed):
+    """eval_mode="ordered" (native hibag_ordered_step: the reference's
+    exact serial summation orders for EM, rare-erase and evaluation, built
+    without FP contraction) makes the trajectory BITWISE identical to the
+    compiled reference — including on tie-dense combos where the device
+    eval's reduction order flips exact floating ties.  The full 36-combo
+    sweep measured 36/36 identical with freq_max_abs_diff exactly 0.0
+    (docs/PARITY_SWEEP_ORDERED.json)."""
+    from hibag_tpu.io.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "hibag_ordered_step"):
+        pytest.skip("native library unavailable")
+    res = _run(["train", "--locus", locus, "--seed", str(seed),
+                "--ncls", "2", "--eval", "ordered"], timeout=1800)
+    for k, c in enumerate(res["classifiers"]):
+        assert c["bootstrap_equal"], (k, c)
+        assert c["snpidx_equal"], (k, c)
+        assert c["hapset_equal"], (k, c)
+        assert c["freq_max_abs_diff"] == 0.0, (k, c)
+        assert c["acc_equal"], (k, c)
+
+
 def test_predict_parity_with_missing(refparity_bin):
     """The missing-genotype paths agree with the reference kernel: 12.5%
     of model SNPs dropped entirely (per-classifier weighting, reference
