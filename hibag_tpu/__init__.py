@@ -62,7 +62,8 @@ from .models.model import AttrBagModel, Classifier, PackedEnsemble
 from .models.predict import PredictionResult, predict
 from .models.publish import (model_files, model_to_robj, out_of_bag,
                              pred_merge, publish, save_rdata)
-from .models.train import train, train_distributed, train_parallel
+from .models.train import (train, train_distributed, train_dynamic,
+                           train_parallel)
 from .seq.aa import (AASeqTable, conv_sequence, convert_table,
                      format_residue_table)
 from .utils.rng import RRng

@@ -653,6 +653,77 @@ def train_distributed(hla_table, geno_data, n_classifiers: int = 100,
     return model
 
 
+def train_dynamic(hla_table, geno_data, n_classifiers: int = 100,
+                  seed: int = 100, work_dir: Optional[str] = None,
+                  job_size: int = 8, coordinator: Optional[str] = None,
+                  num_processes: Optional[int] = None,
+                  process_id: Optional[int] = None,
+                  **kwargs) -> AttrBagModel:
+    """Dynamic load-balanced multi-host ensemble training (opt-in).
+
+    The greedy-refill counterpart of ``train_distributed``'s deterministic
+    static split — the reference's ``.DynamicClusterCall`` job farm
+    (R/DataUtilities.R:124-213), where the master hands the next job to
+    whichever worker finishes first so a straggler or late-joining host
+    never idles the rest.  Here each worker CLAIMS the next ``job_size``-
+    classifier batch by atomically creating a claim file in ``work_dir``
+    (O_CREAT|O_EXCL — must be a filesystem shared by all hosts), trains
+    it, and repeats until no unclaimed batches remain; classifier blocks
+    then all-gather.
+
+    Although WHICH host trains a batch is nondeterministic, the RESULT is
+    not: per-classifier RNG substreams are id-derived (seed + 1000003*id),
+    so the merged ensemble is bit-identical to the static split and to a
+    single-process run regardless of placement
+    (tests/test_parallel.py::test_train_dynamic_two_processes_straggler).
+
+    kwargs pass through to train_parallel (mode, hcap, on_overflow, ...).
+    """
+    import os
+    import tempfile
+    from ..parallel.mesh import allgather_pickled, distributed_init
+
+    pi, pc = distributed_init(coordinator, num_processes, process_id)
+    if work_dir is None:
+        if pc > 1:
+            raise ValueError("train_dynamic with multiple processes needs "
+                             "a shared work_dir for the claim files")
+        work_dir = tempfile.mkdtemp(prefix="hibag_dyn_")
+    os.makedirs(work_dir, exist_ok=True)
+
+    starts = list(range(0, n_classifiers, job_size))
+    local: dict = {}
+    for ci, lo in enumerate(starts):
+        try:
+            fd = os.open(os.path.join(work_dir, f"claim_{ci}"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # another worker got there first
+        os.write(fd, str(pi).encode())
+        os.close(fd)
+        hi = min(lo + job_size, n_classifiers)
+        part = train_parallel(hla_table, geno_data, n_classifiers=hi - lo,
+                              seed=seed, first_id=lo, with_matching=False,
+                              **kwargs)
+        for off, c in enumerate(part.classifiers):
+            local[lo + off] = c
+
+    if pc > 1:
+        merged: dict = {}
+        for part_map in allgather_pickled(local):
+            merged.update(part_map)
+    else:
+        merged = local
+    if len(merged) != n_classifiers:
+        raise RuntimeError(
+            f"dynamic schedule finished with {len(merged)}/{n_classifiers} "
+            f"classifiers — stale claim files in {work_dir}?")
+
+    ctx, alleles, _ = make_training_context(hla_table, geno_data)
+    return _partial_model(ctx, alleles, hla_table, geno_data,
+                          [merged[k] for k in range(n_classifiers)])
+
+
 def _partial_model(ctx, alleles, hla_table, geno_data, classifiers):
     g = ctx.geno.astype(np.float64)
     miss = g >= GENO_MISSING

@@ -614,7 +614,25 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
         if rows.size == 0:
             continue
         if hcap_cur < RETRY_MAX_HCAP:
-            hcap_cur *= 2
+            # escalation schedule (capacities stay multiples of 128 — the
+            # lane tile): double below 512, then +128 steps to 1024, then
+            # +512. Rationale (measured, COVERAGE.md N=102,400): cohort-
+            # scale overflow happens EARLY (~step 8 of ~40), so nearly all
+            # growth runs at the RESUME capacity and per-step cost scales
+            # with it — the recorded peaks (564/558/554 live; one
+            # transient >1024 that fits 1536) sit just above 512, where a
+            # doubling jump to 1024/2048 pays 2x per step (2048 exceeds
+            # the dispatch ceiling outright). Fine steps cost one compile
+            # per visited bucket (persistent-cached); re-freezes lose no
+            # work. Resumed-at-X equals from-scratch-at-X for ANY
+            # sufficient X (the capacity invariance the retry-equality
+            # test exercises across non-power-of-two jumps).
+            if hcap_cur < 512:
+                hcap_cur *= 2
+            elif hcap_cur < 1024:
+                hcap_cur += 128
+            else:
+                hcap_cur += 512
         else:
             # at the capacity ceiling: finish the frozen classifiers with
             # truncation allowed (same terminal behavior as "retry")

@@ -4,10 +4,20 @@ Equivalent of hlaConvSequence / summary.hlaAASeqClass (reference
 R/SeqFormat.R) with the native consensus/dot helpers (HIBAG_SeqMerge /
 HIBAG_SeqRmDot, src/HIBAG.cpp:1197-1278).
 
-The IMGT/HLA alignment data is licensed third-party data and is NOT bundled
-here; point ``data_dir`` at a release directory laid out like the
-reference's ``inst/extdata/v3.22.0`` (SeqAlign/<locus>_prot.txt[.xz],
-hla_nom_p.txt[.xz], hla_nom_g.txt[.xz], FeatureInfo.txt).
+The IMGT/HLA alignment data is licensed third-party data (IPD-IMGT/HLA,
+CC BY-ND — redistributable with citation, no modified redistribution)
+and is NOT bundled here.  Three ways to provide it, in resolution order
+(``default_data_dir``):
+
+1. point ``data_dir=`` (or the ``HIBAG_TPU_IMGT_DIR`` env var) at a
+   release directory laid out like the reference's
+   ``inst/extdata/v3.22.0`` (SeqAlign/<locus>_prot.txt[.xz],
+   hla_nom_p.txt[.xz], hla_nom_g.txt[.xz], FeatureInfo.txt);
+2. a previously fetched copy under ``~/.cache/hibag_tpu/imgt/v<release>``
+   (see ``fetch_imgt``, which downloads a release from the official
+   ANHIG/IMGTHLA distribution and converts it to that layout);
+3. the HIBAG reference package's bundled copy when present on the
+   machine (read in place, never copied).
 
 Sequence pattern conventions (IMGT): '-' = identical to reference,
 letter = substitution, '.' = indel, '*' = unknown.
@@ -24,6 +34,133 @@ from typing import Optional, Sequence
 import numpy as np
 
 HLA_LOCI = ("A", "B", "C", "DRB1", "DQA1", "DQB1", "DPB1", "DPA1")
+
+#: candidate locations for an already-present IMGT/HLA release directory
+_KNOWN_DATA_DIRS = (
+    "/root/reference/inst/extdata/v{release}",   # HIBAG reference package
+)
+
+
+def default_data_dir(release: str = "3.22.0") -> str:
+    """Resolve the IMGT/HLA release directory (see module docstring for
+    the search order).  Raises FileNotFoundError with download
+    instructions when nothing is found."""
+    probe = [os.environ.get("HIBAG_TPU_IMGT_DIR", "")]
+    probe.append(os.path.expanduser(f"~/.cache/hibag_tpu/imgt/v{release}"))
+    probe.extend(d.format(release=release) for d in _KNOWN_DATA_DIRS)
+    for d in probe:
+        if d and os.path.isdir(os.path.join(d, "SeqAlign")):
+            return d
+    raise FileNotFoundError(
+        f"No IMGT/HLA v{release} data directory found (searched "
+        f"{[p for p in probe if p]}). Run "
+        f"hibag_tpu.seq.fetch_imgt('{release}') to download one from the "
+        "official ANHIG/IMGTHLA distribution, or set HIBAG_TPU_IMGT_DIR.")
+
+
+def fetch_imgt(release: str = "3.22.0", dest: str | None = None,
+               loci: Sequence[str] = HLA_LOCI) -> str:
+    """Download an IPD-IMGT/HLA release from the official ANHIG/IMGTHLA
+    GitHub distribution and convert it to the layout ``conv_sequence``
+    expects; returns the created directory (cached — a complete existing
+    copy is returned as-is).
+
+    Downloads per release tag (e.g. v3.22.0 → tag "3.22.0" / branch
+    "3220"): ``alignments/<Locus>_prot.txt`` for each locus,
+    ``wmda/hla_nom_p.txt``, ``wmda/hla_nom_g.txt``, and ``xml/hla.xml.zip``
+    from which the per-locus feature table (FeatureInfo.txt: UTR/exon/
+    intron spans) is extracted — the same source the reference's bundled
+    table cites (inst/extdata/v3.22.0/FeatureInfo.txt header).
+
+    The data is CC BY-ND licensed by the HLA Informatics Group: cite
+    Robinson et al., Nucleic Acids Research 2015 43:D423-431 when
+    publishing results derived from it.
+    """
+    import urllib.request
+
+    dest = dest or os.path.expanduser(f"~/.cache/hibag_tpu/imgt/v{release}")
+    align_dir = os.path.join(dest, "SeqAlign")
+    done = (os.path.isdir(align_dir)
+            and os.path.exists(os.path.join(dest, "hla_nom_p.txt"))
+            and os.path.exists(os.path.join(dest, "FeatureInfo.txt"))
+            and all(os.path.exists(os.path.join(
+                align_dir, f"{loc.lower()}_prot.txt")) for loc in loci))
+    if done:
+        return dest
+    os.makedirs(align_dir, exist_ok=True)
+    branch = release.replace(".", "")
+    base = f"https://raw.githubusercontent.com/ANHIG/IMGTHLA/{branch}"
+
+    def get(rel_url: str, out_path: str) -> None:
+        if os.path.exists(out_path):
+            return
+        with urllib.request.urlopen(f"{base}/{rel_url}", timeout=120) as r:
+            data = r.read()
+        with open(out_path + ".part", "wb") as f:
+            f.write(data)
+        os.rename(out_path + ".part", out_path)
+
+    for loc in loci:
+        get(f"alignments/{loc}_prot.txt",
+            os.path.join(align_dir, f"{loc.lower()}_prot.txt"))
+    get("wmda/hla_nom_p.txt", os.path.join(dest, "hla_nom_p.txt"))
+    get("wmda/hla_nom_g.txt", os.path.join(dest, "hla_nom_g.txt"))
+    xml_zip = os.path.join(dest, "hla.xml.zip")
+    get("xml/hla.xml.zip", xml_zip)
+    _feature_info_from_xml(xml_zip, os.path.join(dest, "FeatureInfo.txt"),
+                           release, loci)
+    return dest
+
+
+def _feature_info_from_xml(xml_zip: str, out_path: str, release: str,
+                           loci: Sequence[str]) -> None:
+    """Extract per-locus UTR/exon/intron spans from the release's hla.xml
+    (first full-length reference allele per locus) into the tab-separated
+    FeatureInfo.txt layout the reference bundles."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    want = {f"HLA-{loc}": loc for loc in loci}
+    rows: dict[str, list] = {}
+    with zipfile.ZipFile(xml_zip) as z:
+        name = z.namelist()[0]
+        with z.open(name) as f:
+            for _, el in ET.iterparse(f):
+                tag = el.tag.rsplit("}", 1)[-1]
+                if tag != "allele":
+                    continue
+                aname = el.get("name", "")
+                locus = want.get(aname.split("*", 1)[0])
+                if locus is not None and locus not in rows:
+                    feats = []
+                    for fe in el.iter():
+                        if fe.tag.rsplit("}", 1)[-1] != "feature":
+                            continue
+                        ftype = fe.get("featuretype", "")
+                        if ftype not in ("UTR", "Exon", "Intron"):
+                            continue
+                        coord = next(
+                            (c for c in fe.iter()
+                             if c.tag.rsplit("}", 1)[-1]
+                             == "SequenceCoordinates"), None)
+                        if coord is None:
+                            continue
+                        feats.append((fe.get("name", ftype),
+                                      int(coord.get("start")),
+                                      int(coord.get("end"))))
+                    if feats:
+                        rows[locus] = feats
+                el.clear()
+                if len(rows) == len(loci):
+                    break
+    with open(out_path + ".part", "w") as f:
+        f.write("# extracted from the IPD-IMGT/HLA release hla.xml\n")
+        f.write(f"# IPD-IMGT/HLA {release} database\n")
+        f.write("id\tname\tstart\tend\n")
+        for loc in loci:
+            for name, start, end in rows.get(loc, []):
+                f.write(f"{loc}\t{name}\t{start}\t{end}\n")
+    os.rename(out_path + ".part", out_path)
 
 
 def _read_lines(path: str) -> list[str]:
@@ -66,11 +203,13 @@ def _feature(data_dir: str):
 
 
 @lru_cache(maxsize=16)
-def protein_alignment(locus: str, data_dir: str) -> dict:
+def protein_alignment(locus: str, data_dir: Optional[str] = None) -> dict:
     """Parse a <locus>_prot.txt alignment (reference .protein,
     R/SeqFormat.R:102-170). Returns dict with reference sequence, start
     offset of position 1, allele names, per-allele pattern strings, and
     exon features in amino-acid coordinates."""
+    if data_dir is None:
+        data_dir = default_data_dir()
     lines = _read_lines(os.path.join(data_dir, "SeqAlign",
                                      f"{locus.lower()}_prot.txt"))
     s1 = lines[6].rstrip()
@@ -145,7 +284,7 @@ def _region_bounds(locus: str, region: str, prot: dict):
     return None
 
 
-def conv_sequence(alleles, locus: str, data_dir: str,
+def conv_sequence(alleles, locus: str, data_dir: Optional[str] = None,
                   code: str = "exact", region: str = "auto",
                   replace: Optional[dict] = None):
     """Map allele strings to amino-acid pattern strings (hlaConvSequence).
@@ -156,6 +295,8 @@ def conv_sequence(alleles, locus: str, data_dir: str,
     """
     if locus not in HLA_LOCI:
         raise ValueError(f"locus must be one of {HLA_LOCI}")
+    if data_dir is None:
+        data_dir = default_data_dir()
     if region == "auto":
         region = {"exact": "all", "P.code": "P.code",
                   "P.code.merge": "P.code", "G.code": "G.code",
@@ -258,7 +399,8 @@ def format_residue_table(table: dict, head: int = 0) -> str:
     return "\n".join(out)
 
 
-def convert_table(hla_table, data_dir: str, code: str = "exact",
+def convert_table(hla_table, data_dir: Optional[str] = None,
+                  code: str = "exact",
                   region: str = "auto",
                   replace: Optional[dict] = None) -> AASeqTable:
     """hlaConvSequence on an HLATypeTable → AASeqTable."""

@@ -122,7 +122,7 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
                  mode: str = "fused", hcap: int = 256,
                  max_steps: int = 128, seed: int = 100,
                  seg_steps=None, on_overflow: str = "warn",
-                 batch=None):
+                 batch=None, freeze_max_batch=None):
     """Biobank-scale training: N>=50k resampled samples on one chip with
     bounded memory (pair masks are rematerialized per chunk — persistent
     state is O(C*H), reference streams pair lists src/LibHLA.cpp:1104-1255).
@@ -134,7 +134,8 @@ def train_cohort(n_samples: int = 50_176, n_classifiers: int = 4,
                           batch=batch or n_classifiers, seed=seed,
                           verbose=True, with_matching=False, mode=mode,
                           hcap=hcap, max_steps=max_steps,
-                          seg_steps=seg_steps, on_overflow=on_overflow)
+                          seg_steps=seg_steps, on_overflow=on_overflow,
+                          freeze_max_batch=freeze_max_batch)
     dt = time.time() - t0
     oob = float(np.mean([c.oob_accuracy for c in m.classifiers]))
     print(json.dumps({
@@ -186,6 +187,38 @@ def cohort_exact_semantics(n_samples: int = 102_400,
         "seconds_512": out[512]["seconds"],
         "seconds_1024": out[1024]["seconds"],
     }), flush=True)
+
+
+def cohort_exact_freeze(n_samples: int = 102_400, n_classifiers: int = 4):
+    """Exact-list semantics at the top of the reference's cohort range,
+    BATCHED (VERDICT r3 item 4): K=4 trains together at hcap=512 with
+    on_overflow="freeze"; classifiers whose lists outgrow 512 slots stop
+    at their first drop and resume at 1024/1536/... with the doubled-
+    capacity dispatches capped at one classifier each (freeze_max_batch=1
+    — a K=4 x hcap>=1024 single-step dispatch exceeds the remote tunnel's
+    per-execution ceiling, COVERAGE.md). Exactness chain: freeze==retry==
+    direct-big-hcap is bitwise (tests/test_fused.py), so the sequences
+    equal a from-scratch run at each classifier's sufficient capacity —
+    the round-3 serial exact run measured final live-haplotype counts
+    564/558/554/690 for seed 100, which this run must reproduce.
+    Reference equivalent: unbounded CHaplotypeList growth,
+    /root/reference/src/LibHLA.cpp:352-578."""
+    t0 = time.time()
+    m = train_cohort(n_samples, n_classifiers, hcap=512, max_steps=128,
+                     seg_steps=1, on_overflow="freeze",
+                     freeze_max_batch=1)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "cohort_exact_freeze_102400_seconds",
+        "value": round(dt, 1),
+        "unit": "s",
+        "n_haplo": [int(c.n_haplo) for c in m.classifiers],
+        "snp_seqs": [c.snp_index.tolist() for c in m.classifiers],
+        "oob": [float(c.oob_accuracy) for c in m.classifiers],
+        "round3_serial_seconds": 1218,
+        "round3_n_haplo_expected": [564, 558, 554, 690],
+    }), flush=True)
+    return m
 
 
 def train_drb1_500(n_classifiers: int = 500):
@@ -292,6 +325,9 @@ if __name__ == "__main__":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_176
         mode = sys.argv[3] if len(sys.argv) > 3 else "fused"
         train_cohort(n, mode=mode)
+    elif which == "exactfreeze":
+        cohort_exact_freeze(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 102_400)
     elif which == "exact":
         cohort_exact_semantics(
             int(sys.argv[2]) if len(sys.argv) > 2 else 102_400)

@@ -199,6 +199,68 @@ def test_train_distributed_two_processes(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_dynamic_two_processes_straggler(tmp_path):
+    """Dynamic job-farm scheduling (.DynamicClusterCall semantics,
+    reference R/DataUtilities.R:124-213): worker 1 joins late (straggler),
+    worker 0 greedily claims most jobs, and the merged ensemble is still
+    identical to the single-process run — placement-independent results
+    from id-derived RNG substreams."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    work = tmp_path / "claims"
+    outs = [tmp_path / f"dyn{i}.npz" for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, "tests/_dyn_worker.py", coord, "2", str(i),
+         str(work), str(outs[i])] + (["20"] if i == 1 else []),
+        cwd="/root/repo", env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, out.decode()
+
+    claims = sorted(os.listdir(work))
+    assert len(claims) == 4
+    owners = [open(work / c).read() for c in claims]
+    # the straggler slept 20s through most of the claiming window
+    assert owners.count("0") >= 3, owners
+
+    from hibag_tpu.data.allele import HLATypeTable, flanking_snps
+    from hibag_tpu.data.geno import SNPGenoData
+    from hibag_tpu.io.rdata import read_rdata, r_to_py
+    from hibag_tpu.models.train import train_parallel
+    truth = r_to_py(read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = SNPGenoData.from_hibag_r(r_to_py(read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    t = HLATypeTable.from_alleles(
+        truth["sample.id"], truth["A.1"], truth["A.2"], locus="A")
+    ids = flanking_snps(geno.snp_id, geno.snp_position, "A", 500_000,
+                        "hg19")
+    fg = geno.subset(
+        snp_mask=np.isin(geno.snp_id.astype(str), ids.astype(str)))
+    ref = train_parallel(t, fg, n_classifiers=4, seed=100, batch=2,
+                         verbose=False, with_matching=False, mode="host")
+    for o in outs:
+        d = np.load(o)
+        assert int(d["n"]) == 4
+        for k in range(4):
+            np.testing.assert_array_equal(d[f"snp{k}"],
+                                          ref.classifiers[k].snp_index)
+
+
+@pytest.mark.slow
 def test_predict_distributed_two_processes(tmp_path, model_list,
                                            hapmap_geno):
     """2-process sample-split prediction (hlaPredict(cl=) semantics): both
