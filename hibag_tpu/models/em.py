@@ -28,6 +28,7 @@ src/LibHLA.cpp:1920-1979):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -234,14 +235,23 @@ def _em_estep_chunk(fA, fB, mask_f, B_c, m_c, total_n):
 
 #: materialize the bool pair mask once (loop-invariant across EM
 #: iterations) when S*H*H stays under this; above it, keep a bit-packed
-#: copy (8x smaller) while it fits MASK_PACKED_BUDGET_BYTES, else
-#: rematerialize per chunk inside every E-step (trade MXU FLOPs for the
-#: quadratic HBM wall)
+#: copy (8x smaller) while it fits the packed budget, else rematerialize
+#: per chunk inside every E-step (trade MXU FLOPs for the quadratic HBM
+#: wall).  The remat tier costs ~4-8x per EM iteration (the distance
+#: matmul chain is c*H^2*2L flops vs the E-step's c*H^2*4C), so staying
+#: packed matters enormously at cohort scale.
 MASK_MATERIALIZE_ELEMS = 32 * 1024 * 1024
-#: per-classifier packed-mask budget (vmapped trainers multiply this by the
-#: classifier batch K — at the default K=4 and H=256 this admits cohorts to
-#: ~130k samples inside a 16 GB HBM chip alongside the EM working set)
+#: default per-classifier packed-mask budget when the caller does not pass
+#: one (vmapped trainers multiply this by the classifier batch K)
 MASK_PACKED_BUDGET_BYTES = 1280 * 1024 * 1024
+#: whole-chip packed-mask budget available to a training batch: callers
+#: that know their classifier batch size K pass mask_budget =
+#: MASK_TOTAL_BUDGET_BYTES // K so small resume batches (K=1..4) can keep
+#: multi-GB masks resident instead of falling to the remat tier
+#: (HIBAG_TPU_MASK_BUDGET_MB overrides; v5e has 16 GB HBM and the rest of
+#: the EM working set is chunk-bounded)
+MASK_TOTAL_BUDGET_BYTES = int(os.environ.get(
+    "HIBAG_TPU_MASK_BUDGET_MB", str(8 * 1024))) * 1024 * 1024
 
 
 def _em_estep_packed(fA, fB, packed, B, m, total_n):
@@ -343,10 +353,17 @@ def _em_estep(fA, fB, bits, valid, allele, geno_sel, a1, a2, B, m,
 #: mirroring the reference's sqrt(DBL_EPSILON) scaled to f32 compute
 F32_RELTOL = float(np.sqrt(np.finfo(np.float32).eps))
 
+#: EM while-loop body unroll factor (>=1). Unrolling reduces loop-boundary
+#: synchronization in the latency-bound small-N regime at the cost of up
+#: to (factor-1) discarded E-steps per candidate batch; results are
+#: bitwise-independent of the factor (gated selects).
+EM_UNROLL = int(os.environ.get("HIBAG_TPU_EM_UNROLL", "1"))
 
-@functools.partial(jax.jit, static_argnames=("reltol",))
+
+@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget"))
 def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
-                      g_new, afreq, total_n, reltol=F32_RELTOL):
+                      g_new, afreq, total_n, reltol=F32_RELTOL,
+                      mask_budget=None):
     """Run the reference's EM to convergence for every candidate SNP.
 
     freq0 [H]: current haplotype freqs; valid [H] bool; bits [H, L] haplotype
@@ -367,19 +384,26 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     Returns (fA [C,H], fB [C,H], loglik [C], n_iter [C]).
     """
     state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
-                             B, g_new, afreq, total_n, reltol=reltol)
+                             B, g_new, afreq, total_n, reltol=reltol,
+                             mask_budget=mask_budget)
     fA, fB, ll, done, it, tol = _em_segment_run(
         freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new, total_n,
-        state, jnp.asarray(EM_MAX_ITERATIONS + 1))
+        state, jnp.asarray(EM_MAX_ITERATIONS + 1), mask_budget=mask_budget)
     return fA, fB, ll, it
 
 
 def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
-                dtype):
+                dtype, mask_budget=None):
     """The E-step closure with the 3-tier memory strategy (shared by the
     monolithic and segmented EM drivers; the selected tier depends only on
-    static shapes, so both trace identically)."""
+    static shapes, so both trace identically).  mask_budget: bytes
+    available for a resident bit-packed pair mask (None = the conservative
+    per-classifier default); tiers are bitwise-equivalent — the budget
+    only trades HBM for per-iteration distance-matmul rematerialization.
+    """
     S, H = geno_sel.shape[0], bits.shape[0]
+    if mask_budget is None:
+        mask_budget = MASK_PACKED_BUDGET_BYTES
     if S * H * H <= MASK_MATERIALIZE_ELEMS:
         mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
         if S * H * H <= 4 * 1024 * 1024:
@@ -390,7 +414,7 @@ def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
 
         def estep(fA, fB):
             return _em_estep_masked(fA, fB, mask, B, m, total_n)
-    elif H % 8 == 0 and S * H * (H // 8) <= MASK_PACKED_BUDGET_BYTES:
+    elif H % 8 == 0 and S * H * (H // 8) <= mask_budget:
         packed = match_pairs_packed(bits, valid, allele, geno_sel, a1, a2)
 
         def estep(fA, fB):
@@ -402,9 +426,10 @@ def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
     return estep
 
 
-@functools.partial(jax.jit, static_argnames=("reltol",))
+@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget"))
 def _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2, B,
-                     g_new, afreq, total_n, reltol=F32_RELTOL):
+                     g_new, afreq, total_n, reltol=F32_RELTOL,
+                     mask_budget=None):
     """Iteration 0 of the EM (DoubleHaplosInitFreq + first E/M step) and
     the first-iteration-anchored tolerance; returns the resumable state
     (fA, fB, ll, done, it, tol)."""
@@ -415,29 +440,29 @@ def _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
     m = _geno_sel_masks(g_new, freq0.dtype)
     estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
-                        total_n, freq0.dtype)
+                        total_n, freq0.dtype, mask_budget)
     fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)
     return fA1, fB1, ll1, jnp.zeros(C, bool), jnp.asarray(1), tol
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mask_budget",))
 def _em_segment_run(freq0, valid, bits, allele, geno_sel, a1, a2, B,
-                    g_new, total_n, state, it_end):
+                    g_new, total_n, state, it_end, mask_budget=None):
     """Advance the EM while_loop until convergence, EM_MAX_ITERATIONS, or
     `it_end` (a DYNAMIC scalar: one executable serves any segment length —
     the host chains segments so no single XLA execution outruns the
     dispatch environment, cf. train_fused.fused_grow_segment)."""
     m = _geno_sel_masks(g_new, freq0.dtype)
     estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
-                        total_n, freq0.dtype)
+                        total_n, freq0.dtype, mask_budget)
     tol = state[5]
 
     def cond(st):
         fA, fB, ll_old, done, it = st
         return (~jnp.all(done)) & (it <= EM_MAX_ITERATIONS) & (it < it_end)
 
-    def body(st):
+    def one(st):
         fA, fB, ll_old, done, it = st
         fA_new, fB_new, ll = estep(fA, fB)
         newly_done = jnp.abs(ll - ll_old) <= tol
@@ -447,13 +472,31 @@ def _em_segment_run(freq0, valid, bits, allele, geno_sel, a1, a2, B,
         ll = jnp.where(done, ll_old, ll)
         return fA, fB, ll, done | newly_done, it + 1
 
+    if EM_UNROLL > 1:
+        # unroll the while body: fewer loop-boundary synchronizations for
+        # the latency-bound small-N regime. Bitwise-identical to the
+        # unrolled=1 loop — every extra sub-iteration is gated by the SAME
+        # condition the loop head would have evaluated, so an over-stepped
+        # pair is fully discarded (the select keeps the pre-step state).
+        def body(st):
+            st = one(st)
+            for _ in range(EM_UNROLL - 1):
+                go = cond(st)
+                nxt = one(st)
+                st = jax.tree.map(
+                    lambda a, b: jnp.where(go, a, b), nxt, st)
+            return st
+    else:
+        body = one
+
     fA, fB, ll, done, it = jax.lax.while_loop(cond, body, state[:5])
     return fA, fB, ll, done, it, tol
 
 
 def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
                                 a2, B, g_new, afreq, total_n,
-                                reltol=F32_RELTOL, iter_seg=32):
+                                reltol=F32_RELTOL, iter_seg=32,
+                                mask_budget=None):
     """em_all_candidates with at most `iter_seg` EM iterations per device
     dispatch (host-chained segments, state left on device between them).
 
@@ -463,14 +506,16 @@ def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
     extreme (N, H) scales where even one EM-to-convergence while_loop
     exceeds the remote tunnel's single-dispatch ceiling."""
     state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
-                             B, g_new, afreq, total_n, reltol=reltol)
+                             B, g_new, afreq, total_n, reltol=reltol,
+                             mask_budget=mask_budget)
     while True:
         done, it = np.asarray(state[3]), int(state[4])
         if done.all() or it > EM_MAX_ITERATIONS:
             break
         state = _em_segment_run(
             freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new,
-            total_n, state, jnp.asarray(it + iter_seg))
+            total_n, state, jnp.asarray(it + iter_seg),
+            mask_budget=mask_budget)
     fA, fB, ll, done, it, tol = state
     return fA, fB, ll, it
 

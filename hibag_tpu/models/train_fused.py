@@ -105,11 +105,12 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_alleles", "mtry", "prune", "freeze"),
+    static_argnames=("n_alleles", "mtry", "prune", "freeze",
+                     "mask_budget"),
     donate_argnums=(0,))
 def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
                        rare_prob, total_n, n_alleles, mtry,
-                       prune=True, freeze=False):
+                       prune=True, freeze=False, mask_budget=None):
     """Advance the fused growth while_loop until every classifier is done
     or ``state.steps`` reaches ``step_limit`` (a dynamic scalar).
 
@@ -158,7 +159,8 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
         valid = freq > 0
         fA, fB, _, _ = em_all_candidates(freq, valid, bits, allele,
                                          geno_sel, a1, a2, B_k, g_cand,
-                                         afreq, total_n)
+                                         afreq, total_n,
+                                         mask_budget=mask_budget)
         fA, fB = erase_rare(fA, fB, rare_prob)
         acc_c, loss_c = evaluate_candidates(bits, allele, n_snp, fA, fB,
                                             g_cand, geno_sel, a1, a2,
@@ -269,7 +271,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                      rare_prob, total_n, n_alleles, mtry, prune=True,
                      max_steps=256, real_snp=None, seg_steps=None,
                      progress=None, freeze=False, state0=None,
-                     return_state=False):
+                     return_state=False, mask_budget=None):
     """Grow K classifiers on device, in bounded-length dispatch segments.
 
     bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
@@ -339,6 +341,13 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
             n_step=putk(jnp.zeros(K, jnp.int32)),
             steps=putr(jnp.asarray(0, jnp.int32)))
     K = state.done.shape[0]
+    if mask_budget is None:
+        # divide the chip's packed-pair-mask budget across the vmapped
+        # classifier batch: small resume batches at cohort scale keep
+        # multi-GB masks resident instead of rematerializing distances
+        # every EM iteration (~4-8x per-iteration cost; em.py tiers)
+        from .em import MASK_TOTAL_BUDGET_BYTES
+        mask_budget = MASK_TOTAL_BUDGET_BYTES // max(K, 1)
     budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
@@ -346,7 +355,8 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                             jnp.int32)
         state = fused_grow_segment(
             state, limit, budget, B, real, geno, a1, a2, rare_prob,
-            total_n, n_alleles, mtry, prune, freeze)
+            total_n, n_alleles, mtry, prune, freeze,
+            mask_budget=mask_budget)
         steps_done = int(state.steps)        # syncs once per segment
         done = np.asarray(state.done)
         if progress is not None:

@@ -1,0 +1,186 @@
+"""BASELINE config[4] at its STATED scale: multi-population combined
+training — ~100k synthetic samples, 6 loci, 100 classifiers/locus, across
+2 processes, merged hlaCombineModelObj-style (combine()), then predicted.
+
+Cohort: 102,400 samples synthesized from the bundled CEU panel as TWO
+populations (51,200 each) with different resampling seeds and skewed
+founder weights (population B draws founders from a biased distribution,
+shifting allele frequencies — the "multi-population" character of the
+config). One column resampling is shared by all 6 loci so every sample
+carries a coherent 6-locus truth.
+
+Execution model on this image: ONE physical TPU chip — the two "hosts"
+run as two real OS processes SEQUENTIALLY (concurrent chip use corrupts
+timings and crashes dispatches), each training its half of every locus's
+ensemble (first_id 0 / 50: id-derived RNG substreams make the merged
+model identical to a single-process run) and saving its partial model;
+this driver then merges the halves through the public combine() API and
+predicts a held-out 2,048-sample evaluation set per locus. The genuinely
+concurrent 2-process jax.distributed flow is validated separately at CEU
+scale (scripts/config4_run.py) and on the virtual multi-device mesh.
+
+Training uses hcap=256 with on_overflow="warn": at this scale exact-list
+semantics needs 640+ slot resumes per classifier (~5x the wall; measured
+by scripts/bench_scale.py exactfreeze) — overflow counts are recorded.
+Reference equivalents: hlaCombineModelObj (R/HIBAG.R:1069),
+hlaParallelAttrBagging split (R/HIBAG.R:293-451).
+
+Usage:  PYTHONPATH=/root/.axon_site:/root/repo python3 \
+            scripts/config4_scale.py [outdir]
+Each completed (locus, half) is checkpointed; reruns resume.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+OUTDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/config4_scale"
+N_SAMPLES = 102_400
+N_EVAL = 2_048
+N_CLS = 100
+LOCI = ("A", "B", "C", "DQA1", "DQB1", "DRB1")
+FLOORS = {"A": 0.9, "B": 0.8, "C": 0.8, "DQA1": 0.8, "DQB1": 0.8,
+          "DRB1": 0.7}
+
+
+def build_cohort():
+    """(sample columns, per-population ids) for the multi-population
+    cohort + evaluation set — deterministic, shared by both workers."""
+    import hibag_tpu as ht
+    truth = ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HLA_Type_Table.rdata")["HLA_Type_Table"])
+    geno = ht.SNPGenoData.from_hibag_r(ht.r_to_py(ht.read_rdata(
+        "/root/reference/data/HapMap_CEU_Geno.rdata")["HapMap_CEU_Geno"]))
+    tmap = {s: i for i, s in enumerate(truth["sample.id"])}
+    keep = np.asarray([i for i, s in enumerate(geno.sample_id) if s in tmap])
+    fg = geno.subset(samp_mask=keep)
+    nf = fg.n_samp
+
+    # population A: uniform founder resampling; population B: skewed
+    # founder weights (Dirichlet draw) -> shifted allele frequencies
+    rng_a = np.random.default_rng(1001)
+    rng_b = np.random.default_rng(2002)
+    w_b = rng_b.dirichlet(np.full(nf, 0.3))
+    cols_a = rng_a.integers(0, nf, N_SAMPLES // 2)
+    cols_b = rng_b.choice(nf, N_SAMPLES // 2, p=w_b)
+    cols = np.concatenate([cols_a, cols_b])
+    # held-out evaluation set: a fresh uniform resample
+    eval_cols = np.random.default_rng(3003).integers(0, nf, N_EVAL)
+    return truth, tmap, fg, cols, eval_cols
+
+
+def subcohort(fg, truth, tmap, cols, locus, prefix):
+    import hibag_tpu as ht
+    # subset to the locus's flanking SNPs BEFORE the 100k column expansion
+    ids = ht.flanking_snps(fg.snp_id, fg.snp_position, locus,
+                           500_000, "hg19")
+    f_loc = fg.subset(snp_mask=np.isin(fg.snp_id.astype(str),
+                                       ids.astype(str)))
+    sid = np.array([f"{prefix}{i}" for i in range(len(cols))], dtype=object)
+    sub = ht.SNPGenoData(
+        genotype=f_loc.genotype[:, cols], sample_id=sid,
+        snp_id=f_loc.snp_id, snp_position=f_loc.snp_position,
+        snp_allele=f_loc.snp_allele, assembly=f_loc.assembly)
+    ti = np.array([tmap[s] for s in fg.sample_id])[cols]
+    a1 = np.asarray(truth[f"{locus}.1"], dtype=object)[ti]
+    a2 = np.asarray(truth[f"{locus}.2"], dtype=object)[ti]
+    hla = ht.hlaAllele(sid, a1, a2, locus=locus, assembly="hg19")
+    return hla, sub
+
+
+def worker(half: int):
+    """Train this half (50 classifiers) of every locus's ensemble."""
+    import warnings
+    import hibag_tpu as ht
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    truth, tmap, fg, cols, _ = build_cohort()
+    per = N_CLS // 2
+    for locus in LOCI:
+        out = os.path.join(OUTDIR, f"{locus}_p{half}.npz")
+        marker = os.path.join(OUTDIR, f"{locus}_p{half}.done.json")
+        if os.path.exists(marker):
+            print(f"[w{half}] {locus}: already done", flush=True)
+            continue
+        hla, sub = subcohort(fg, truth, tmap, cols, locus, "s")
+        t0 = time.time()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            m = ht.train_parallel(
+                hla, sub, n_classifiers=per, first_id=half * per,
+                seed=100, batch=10, verbose=True, with_matching=False,
+                mode="fused", hcap=256, max_steps=128,
+                on_overflow="warn", auto_save=out, resume=True)
+        dt = time.time() - t0
+        m.save(out)
+        ov = [str(w.message) for w in caught if "hcap" in str(w.message)]
+        with open(marker, "w") as f:
+            json.dump({"locus": locus, "half": half, "seconds": dt,
+                       "n_classifiers": m.n_classifiers,
+                       "overflow_warnings": ov,
+                       "mean_oob": float(np.mean(
+                           [c.oob_accuracy for c in m.classifiers]))}, f)
+        print(f"[w{half}] {locus}: {per} cls in {dt:.0f}s", flush=True)
+
+
+def merge_and_eval():
+    import hibag_tpu as ht
+    from hibag_tpu.models.model import AttrBagModel
+    truth, tmap, fg, cols, eval_cols = build_cohort()
+    results = {}
+    for locus in LOCI:
+        paths = [os.path.join(OUTDIR, f"{locus}_p{h}.npz") for h in (0, 1)]
+        metas = [json.load(open(os.path.join(
+            OUTDIR, f"{locus}_p{h}.done.json"))) for h in (0, 1)]
+        m0, m1 = (AttrBagModel.load(p) for p in paths)
+        merged = m0.combine(m1)          # hlaCombineModelObj
+        assert merged.n_classifiers == N_CLS
+        ev_hla, ev_sub = subcohort(fg, truth, tmap, eval_cols, locus, "e")
+        res = ht.predict(merged, ev_sub)
+        cmp = ht.compare_alleles(ev_hla, res)
+        acc = float(cmp.overall["acc.haplo"])
+        results[locus] = {
+            "acc_haplo": acc, "floor": FLOORS[locus],
+            "ok": acc >= FLOORS[locus],
+            "n_classifiers": merged.n_classifiers,
+            "train_seconds": [round(m["seconds"], 1) for m in metas],
+            "mean_oob": [round(m["mean_oob"], 4) for m in metas],
+            "n_overflow_warnings": [len(m["overflow_warnings"])
+                                    for m in metas],
+        }
+        print(json.dumps({locus: results[locus]}), flush=True)
+    return results
+
+
+def main():
+    os.makedirs(OUTDIR, exist_ok=True)
+    t0 = time.time()
+    for half in (0, 1):   # sequential: one chip
+        r = subprocess.run([sys.executable, __file__, OUTDIR,
+                            f"--worker={half}"])
+        assert r.returncode == 0, f"worker {half} failed"
+    results = merge_and_eval()
+    results["_total_wall_s"] = round(time.time() - t0, 1)
+    results["_n_samples"] = N_SAMPLES
+    results["_n_processes"] = 2
+    results["_note"] = ("two real worker processes run sequentially — "
+                        "single TPU chip on this image")
+    print(json.dumps(results))
+    with open(os.path.join(OUTDIR, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return 0 if all(v["ok"] for k, v in results.items()
+                    if isinstance(v, dict)) else 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[2].startswith("--worker="):
+        worker(int(sys.argv[2].split("=")[1]))
+    else:
+        sys.exit(main())
