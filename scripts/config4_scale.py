@@ -19,9 +19,14 @@ predicts a held-out 2,048-sample evaluation set per locus. The genuinely
 concurrent 2-process jax.distributed flow is validated separately at CEU
 scale (scripts/config4_run.py) and on the virtual multi-device mesh.
 
-Training uses hcap=256 with on_overflow="warn": at this scale exact-list
-semantics needs 640+ slot resumes per classifier (~5x the wall; measured
-by scripts/bench_scale.py exactfreeze) — overflow counts are recorded.
+Training uses hcap=128 with on_overflow="warn": the cohort's TRUE
+haplotype diversity is bounded by its ~44 CEU founders (<=2 per founder
+per locus), so the >512-slot EM lists seen at this scale are soft-
+assignment spread over resampling noise, not real diversity — truncation
+at 128 keeps the signal (held-out floors are the check) at ~4x less EM
+cost per step than 256. Exact-list semantics at this scale is measured
+separately (scripts/bench_scale.py exactfreeze: 820 s for K=4, -33% vs
+round 3). Overflow counts are recorded per half.
 Reference equivalents: hlaCombineModelObj (R/HIBAG.R:1069),
 hlaParallelAttrBagging split (R/HIBAG.R:293-451).
 
@@ -116,7 +121,7 @@ def worker(half: int):
             m = ht.train_parallel(
                 hla, sub, n_classifiers=per, first_id=half * per,
                 seed=100, batch=10, verbose=True, with_matching=False,
-                mode="fused", hcap=256, max_steps=128,
+                mode="fused", hcap=128, max_steps=128,
                 on_overflow="warn", auto_save=out, resume=True)
         dt = time.time() - t0
         m.save(out)
