@@ -205,6 +205,24 @@ def test_fused_overflow_freeze_matches_retry():
         assert a.n_haplo > 6  # the resume actually grew past the old cap
 
 
+def test_fused_freeze_chunked_resume_matches_unchunked():
+    """freeze_max_batch=1 resumes the frozen classifiers one dispatch at a
+    time (the extreme-(N,hcap) configuration where a full-width resume
+    exceeds the dispatch ceiling) — results must be bitwise identical to
+    the unchunked freeze path."""
+    from hibag_tpu.models.train_fused import train_fused_batch
+    ctx = _synthetic(seed=9, n=48, p=64, n_alleles=6)
+    whole = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6,
+                              max_steps=30, on_overflow="freeze")
+    chunked = train_fused_batch(ctx, K=3, seed=21, mtry=8, hcap=6,
+                                max_steps=30, on_overflow="freeze",
+                                freeze_max_batch=1)
+    for a, b in zip(whole, chunked):
+        np.testing.assert_array_equal(a.snp_index, b.snp_index)
+        np.testing.assert_array_equal(a.hap_freq, b.hap_freq)
+        assert a.oob_accuracy == b.oob_accuracy
+
+
 def test_fused_freeze_noop_without_overflow():
     """With ample hcap the freeze path must be a bitwise no-op relative to
     the plain single-run path (the per-classifier step budget and freeze
