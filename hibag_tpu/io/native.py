@@ -206,6 +206,13 @@ def ordered_step(bits: np.ndarray, freq: np.ndarray, allele: np.ndarray,
     lib = get_lib()
     if lib is None or not hasattr(lib, "hibag_ordered_step"):
         return None
+    H_, N_ = bits.shape[0], g_cand.shape[1]
+    if N_ * H_ * H_ * 2 > 4 << 30:
+        raise MemoryError(
+            f"ordered parity mode materializes an [N, H, H] uint16 "
+            f"distance table ({N_}x{H_}x{H_} = "
+            f"{N_ * H_ * H_ * 2 / 2**30:.1f} GiB) — it is meant for "
+            "reference-panel scales, not cohort training")
     bits = np.ascontiguousarray(bits, dtype=np.uint8)
     freq = np.ascontiguousarray(freq, dtype=np.float64)
     allele = np.ascontiguousarray(allele, dtype=np.int32)
