@@ -126,10 +126,10 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
     its remaining step allowance.  With ``freeze=True``, a classifier whose
     accepted step would overflow the Hc slot capacity takes NO state update
     at all — not even its PRNG key split — and is marked done with
-    overflow=1; the host driver re-seats its state in a 2x-Hc buffer and
-    resumes, replaying the frozen step identically (the TPU-native
-    equivalent of the reference's unbounded CHaplotypeList growth,
-    src/LibHLA.cpp:461-515).
+    overflow=1; the host driver re-seats its state in a larger-capacity
+    buffer and resumes, replaying the frozen step identically (the
+    TPU-native equivalent of the reference's unbounded CHaplotypeList
+    growth, src/LibHLA.cpp:461-515).
     """
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
@@ -565,7 +565,7 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                   rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
                   progress, put_k, put_r, mk, freeze_max_batch=None):
     """on_overflow="freeze" driver: grow with freeze-at-first-drop, then
-    repeatedly re-seat the frozen classifiers at doubled capacity and
+    repeatedly re-seat the frozen classifiers at escalated capacity and
     resume them, never re-running a completed growth step.  Bitwise equal
     to on_overflow="retry" (which retrains from scratch at 2x hcap) because
     freezing happens at the FIRST drop with the PRNG key un-advanced —
