@@ -62,7 +62,8 @@ def _find_lib() -> Optional[str]:
             tail = err.decode("utf-8", "replace").strip()[-400:]
             warnings.warn(
                 "native library auto-build failed (NumPy fallbacks in "
-                f"use): {exc}" + (f"\n{tail}" if tail else ""))
+                f"use; delete {marker} to retry after fixing the "
+                f"toolchain): {exc}" + (f"\n{tail}" if tail else ""))
             try:
                 with open(marker, "w") as fh:
                     fh.write(str(exc))
