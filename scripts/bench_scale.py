@@ -191,7 +191,7 @@ def cohort_exact_semantics(n_samples: int = 102_400,
 
 def cohort_exact_freeze(n_samples: int = 102_400, n_classifiers: int = 4):
     """Exact-list semantics at the top of the reference's cohort range,
-    BATCHED (VERDICT r3 item 4): K=4 trains together at hcap=512 with
+    BATCHED (VERDICT r3 item 4): K=4 trains together at hcap=256 with
     on_overflow="freeze"; classifiers whose lists outgrow 512 slots stop
     at their first drop and resume at 1024/1536/... with the doubled-
     capacity dispatches capped at one classifier each (freeze_max_batch=1
@@ -204,7 +204,12 @@ def cohort_exact_freeze(n_samples: int = 102_400, n_classifiers: int = 4):
     Reference equivalent: unbounded CHaplotypeList growth,
     /root/reference/src/LibHLA.cpp:352-578."""
     t0 = time.time()
-    m = train_cohort(n_samples, n_classifiers, hcap=512, max_steps=128,
+    # start at 256: the K=4 phase stays in the PACKED pair-mask tier
+    # (839 MB/classifier <= the 2 GB per-classifier budget; 512 would fall
+    # to per-iteration remat at ~4x the step cost), and every K=1 resume
+    # bucket (512/640/768/...) is packed too — overflow happens so early
+    # that phase-1 capacity barely matters, resume-capacity cost is all
+    m = train_cohort(n_samples, n_classifiers, hcap=256, max_steps=128,
                      seg_steps=1, on_overflow="freeze",
                      freeze_max_batch=1)
     dt = time.time() - t0
