@@ -346,8 +346,29 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         # classifier batch: small resume batches at cohort scale keep
         # multi-GB masks resident instead of rematerializing distances
         # every EM iteration (~4-8x per-iteration cost; em.py tiers)
-        from .em import MASK_TOTAL_BUDGET_BYTES
+        from .em import (MASK_MATERIALIZE_ELEMS, MASK_PACKED_BUDGET_BYTES,
+                         MASK_TOTAL_BUDGET_BYTES)
         mask_budget = MASK_TOTAL_BUDGET_BYTES // max(K, 1)
+        if mask_budget < MASK_PACKED_BUDGET_BYTES:
+            # the K-divided budget is below the old per-classifier default
+            # (K >= 7 at the defaults): if this batch's packed mask would
+            # have fit the old budget but not this one, the EM falls from
+            # the packed tier to per-chunk remat (~4-8x per-iteration
+            # cost) — surface that instead of degrading silently
+            H = int(state.bits.shape[1])
+            packed_bytes = N * H * (H // 8) if H % 8 == 0 else None
+            if (packed_bytes is not None
+                    and N * H * H > MASK_MATERIALIZE_ELEMS
+                    and mask_budget < packed_bytes
+                    <= MASK_PACKED_BUDGET_BYTES):
+                import warnings
+                warnings.warn(
+                    f"EM pair masks ({packed_bytes >> 20} MiB/classifier "
+                    f"packed) exceed the K-divided budget "
+                    f"({mask_budget >> 20} MiB at K={K}): falling to "
+                    f"per-chunk rematerialization (~4-8x per-EM-iteration "
+                    f"cost). Train in smaller classifier batches or raise "
+                    f"HIBAG_TPU_MASK_BUDGET_MB to keep the packed tier.")
     budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
@@ -381,8 +402,11 @@ def _freeze_reseat_impl(state: GrowState, idx, new_hc: int) -> GrowState:
     and the doubling sort keeps live haplotypes in an identical relative
     order (fa-block indices stay below fb-block indices at any capacity) —
     so the resumed replay is bitwise the step the classifier would have
-    taken had it started at ``new_hc`` (verified end-to-end by
-    tests/test_fused.py::test_fused_overflow_freeze_matches_retry).
+    taken had it started at ``new_hc`` whenever the eval/EM chunk plans
+    are H-independent (verified end-to-end at such shapes by
+    tests/test_fused.py::test_fused_overflow_freeze_matches_retry; at
+    cohort scale H-dependent chunk plans can flip exact ties — see
+    ``train_fused_batch``).
     """
     take = lambda x: jnp.take(x, idx, axis=0)
     kf = idx.shape[0]
@@ -436,13 +460,25 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     "retry" retrains ONLY the overflowed classifiers FROM SCRATCH at
     doubled hcap (identical per-classifier RNG streams, so non-overflowed
     results are unaffected) until clean or hcap reaches RETRY_MAX_HCAP;
-    "freeze" produces bitwise-identical results to "retry" but NEVER
-    re-runs completed growth steps — overflowed classifiers stop at their
-    first dropped haplotype with their PRNG key un-advanced, are re-seated
-    on device in a 2x-hcap buffer, and resume from the frozen step
+    "freeze" NEVER re-runs completed growth steps — overflowed classifiers
+    stop at their first dropped haplotype with their PRNG key un-advanced,
+    are re-seated on device in an escalated-capacity buffer, and resume
+    from the frozen step
     (tests/test_fused.py::test_fused_overflow_freeze_matches_retry).
     Both exact modes cost one compile per hcap bucket — significant under
     a remote-compile tunnel; "freeze" additionally avoids retraining work.
+
+    Bitwise equivalence scope: "freeze" results equal "retry" results
+    bitwise when the eval/EM sample-chunk plans are H-independent (true at
+    small/mid shapes, where ``em._chunk_plan`` returns one chunk either
+    way).  At cohort scale the chunk plans DEPEND on H, and the two modes
+    also visit different capacity schedules (freeze: fine +128/+512 steps;
+    retry: 2x doubling), so a resume-at-X trajectory can resolve EXACT
+    floating-point ties differently from a from-scratch-at-Y run — the
+    same order-defined tie class as docs/DEVIATIONS.md #3 (measured at
+    N=102,400: 2/4 classifiers matched the from-scratch run exactly, 2/4
+    flipped a tie; COVERAGE.md round-4 caveat).  Both modes keep exact
+    LIST semantics (no haplotype is ever dropped below the ceiling).
     """
     from .model import Classifier
     from .train import _init_haplotype
@@ -566,11 +602,13 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                   progress, put_k, put_r, mk, freeze_max_batch=None):
     """on_overflow="freeze" driver: grow with freeze-at-first-drop, then
     repeatedly re-seat the frozen classifiers at escalated capacity and
-    resume them, never re-running a completed growth step.  Bitwise equal
-    to on_overflow="retry" (which retrains from scratch at 2x hcap) because
+    resume them, never re-running a completed growth step.  Equal to
+    on_overflow="retry" (which retrains from scratch at 2x hcap) because
     freezing happens at the FIRST drop with the PRNG key un-advanced —
-    see ``_freeze_reseat``.  Equivalent reference behavior: the unbounded
-    haplotype list growth in src/LibHLA.cpp:461-515.
+    see ``_freeze_reseat``; bitwise-equal when the eval/EM chunk plans are
+    H-independent (see ``train_fused_batch`` for the cohort-scale tie
+    caveat).  Equivalent reference behavior: the unbounded haplotype list
+    growth in src/LibHLA.cpp:461-515.
 
     ``freeze_max_batch``: cap on the number of classifiers per resume
     dispatch batch.  At extreme (N, hcap) scales a K=4 batch at hcap=1024

@@ -107,21 +107,73 @@ def fetch_imgt(release: str = "3.22.0", dest: str | None = None,
     get("wmda/hla_nom_g.txt", os.path.join(dest, "hla_nom_g.txt"))
     xml_zip = os.path.join(dest, "hla.xml.zip")
     get("xml/hla.xml.zip", xml_zip)
+    # the reference's bundled FeatureInfo.txt describes each locus's
+    # REFERENCE allele (the alignment's first row), so extract exactly
+    # those alleles' feature spans from hla.xml
+    refs = {loc: _alignment_reference_allele(
+        os.path.join(align_dir, f"{loc.lower()}_prot.txt"), loc)
+        for loc in loci}
     _feature_info_from_xml(xml_zip, os.path.join(dest, "FeatureInfo.txt"),
-                           release, loci)
+                           release, loci, refs)
     return dest
 
 
+def _alignment_reference_allele(path: str, locus: str) -> Optional[str]:
+    """First allele row of a <locus>_prot.txt alignment — the IMGT
+    reference allele the bundled FeatureInfo table is built from."""
+    try:
+        for ln in _read_lines(path):
+            if ln.startswith(f" {locus}*"):
+                return ln[1:].split()[0]
+    except (OSError, FileNotFoundError):
+        pass
+    return None
+
+
 def _feature_info_from_xml(xml_zip: str, out_path: str, release: str,
-                           loci: Sequence[str]) -> None:
+                           loci: Sequence[str],
+                           ref_alleles: Optional[dict] = None) -> None:
     """Extract per-locus UTR/exon/intron spans from the release's hla.xml
-    (first full-length reference allele per locus) into the tab-separated
-    FeatureInfo.txt layout the reference bundles."""
+    into the tab-separated FeatureInfo.txt layout the reference bundles.
+
+    ``ref_alleles`` maps locus → the locus REFERENCE allele name (the
+    protein alignment's first row, e.g. "A*01:01:01:01") whose spans are
+    extracted — matching how the bundled table is built.  Loci without a
+    resolvable reference allele fall back to the first allele encountered
+    with features, which can differ from the bundled table's spans (the
+    table is only used for coarse region bounds like E2/E2+E3)."""
     import xml.etree.ElementTree as ET
     import zipfile
 
+    ref_alleles = ref_alleles or {}
     want = {f"HLA-{loc}": loc for loc in loci}
+
+    def _is_ref(locus: str, aname: str) -> bool:
+        ref = ref_alleles.get(locus)
+        if not ref:
+            return True  # no reference row known: first-encountered
+        return aname == f"HLA-{ref}" or aname.startswith(f"HLA-{ref}:")
+
+    def _feats(el) -> list:
+        feats = []
+        for fe in el.iter():
+            if fe.tag.rsplit("}", 1)[-1] != "feature":
+                continue
+            ftype = fe.get("featuretype", "")
+            if ftype not in ("UTR", "Exon", "Intron"):
+                continue
+            coord = next(
+                (c for c in fe.iter()
+                 if c.tag.rsplit("}", 1)[-1] == "SequenceCoordinates"),
+                None)
+            if coord is None:
+                continue
+            feats.append((fe.get("name", ftype),
+                          int(coord.get("start")), int(coord.get("end"))))
+        return feats
+
     rows: dict[str, list] = {}
+    fallback: dict[str, list] = {}  # first allele with features per locus
     with zipfile.ZipFile(xml_zip) as z:
         name = z.namelist()[0]
         with z.open(name) as f:
@@ -132,24 +184,15 @@ def _feature_info_from_xml(xml_zip: str, out_path: str, release: str,
                 aname = el.get("name", "")
                 locus = want.get(aname.split("*", 1)[0])
                 if locus is not None and locus not in rows:
-                    feats = []
-                    for fe in el.iter():
-                        if fe.tag.rsplit("}", 1)[-1] != "feature":
-                            continue
-                        ftype = fe.get("featuretype", "")
-                        if ftype not in ("UTR", "Exon", "Intron"):
-                            continue
-                        coord = next(
-                            (c for c in fe.iter()
-                             if c.tag.rsplit("}", 1)[-1]
-                             == "SequenceCoordinates"), None)
-                        if coord is None:
-                            continue
-                        feats.append((fe.get("name", ftype),
-                                      int(coord.get("start")),
-                                      int(coord.get("end"))))
-                    if feats:
-                        rows[locus] = feats
+                    feats = None
+                    if _is_ref(locus, aname):
+                        feats = _feats(el)
+                        if feats:
+                            rows[locus] = feats
+                    if locus not in fallback:
+                        feats = _feats(el) if feats is None else feats
+                        if feats:
+                            fallback[locus] = feats
                 el.clear()
                 if len(rows) == len(loci):
                     break
@@ -158,7 +201,7 @@ def _feature_info_from_xml(xml_zip: str, out_path: str, release: str,
         f.write(f"# IPD-IMGT/HLA {release} database\n")
         f.write("id\tname\tstart\tend\n")
         for loc in loci:
-            for name, start, end in rows.get(loc, []):
+            for name, start, end in rows.get(loc, fallback.get(loc, [])):
                 f.write(f"{loc}\t{name}\t{start}\t{end}\n")
     os.rename(out_path + ".part", out_path)
 
@@ -202,14 +245,22 @@ def _feature(data_dir: str):
     return rows
 
 
-@lru_cache(maxsize=16)
 def protein_alignment(locus: str, data_dir: Optional[str] = None) -> dict:
     """Parse a <locus>_prot.txt alignment (reference .protein,
     R/SeqFormat.R:102-170). Returns dict with reference sequence, start
     offset of position 1, allele names, per-allele pattern strings, and
-    exon features in amino-acid coordinates."""
+    exon features in amino-acid coordinates.
+
+    ``data_dir=None`` is resolved to :func:`default_data_dir` HERE (not in
+    the cached body) so env-var changes or a freshly fetched release are
+    picked up by later calls instead of being frozen into the cache key."""
     if data_dir is None:
         data_dir = default_data_dir()
+    return _protein_alignment_cached(locus, data_dir)
+
+
+@lru_cache(maxsize=16)
+def _protein_alignment_cached(locus: str, data_dir: str) -> dict:
     lines = _read_lines(os.path.join(data_dir, "SeqAlign",
                                      f"{locus.lower()}_prot.txt"))
     s1 = lines[6].rstrip()
