@@ -360,10 +360,11 @@ F32_RELTOL = float(np.sqrt(np.finfo(np.float32).eps))
 EM_UNROLL = int(os.environ.get("HIBAG_TPU_EM_UNROLL", "1"))
 
 
-@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget"))
+@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget",
+                                              "engine"))
 def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
                       g_new, afreq, total_n, reltol=F32_RELTOL,
-                      mask_budget=None):
+                      mask_budget=None, engine="jnp"):
     """Run the reference's EM to convergence for every candidate SNP.
 
     freq0 [H]: current haplotype freqs; valid [H] bool; bits [H, L] haplotype
@@ -385,25 +386,49 @@ def em_all_candidates(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     """
     state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
                              B, g_new, afreq, total_n, reltol=reltol,
-                             mask_budget=mask_budget)
+                             mask_budget=mask_budget, engine=engine)
     fA, fB, ll, done, it, tol = _em_segment_run(
         freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new, total_n,
-        state, jnp.asarray(EM_MAX_ITERATIONS + 1), mask_budget=mask_budget)
+        state, jnp.asarray(EM_MAX_ITERATIONS + 1), mask_budget=mask_budget,
+        engine=engine)
     return fA, fB, ll, it
 
 
 def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
-                dtype, mask_budget=None):
+                dtype, mask_budget=None, engine="jnp"):
     """The E-step closure with the 3-tier memory strategy (shared by the
     monolithic and segmented EM drivers; the selected tier depends only on
     static shapes, so both trace identically).  mask_budget: bytes
     available for a resident bit-packed pair mask (None = the conservative
     per-classifier default); tiers are bitwise-equivalent — the budget
     only trades HBM for per-iteration distance-matmul rematerialization.
+
+    engine: "jnp" (default — the reference-parity path) or
+    "pallas"/"pallas_interpret" (fused-mode fast path: the per-iteration
+    E+M step runs as one Pallas kernel with the mask streamed as int8 and
+    every intermediate VMEM-resident — ops/train_step_pallas.py).  The
+    pallas tier requires f32 compute, lane-tiled H, and the int8 mask
+    within the budget; unsupported shapes silently use the jnp tiers.
     """
     S, H = geno_sel.shape[0], bits.shape[0]
     if mask_budget is None:
         mask_budget = MASK_PACKED_BUDGET_BYTES
+    if (engine.startswith("pallas") and dtype == jnp.float32
+            and H % 128 == 0 and S * H * H <= mask_budget):
+        from ..ops.train_step_pallas import (em_estep_pallas,
+                                             em_pad_candidates,
+                                             em_prepare_pallas)
+        C = m.shape[0]
+        mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+        maskT, m3, B2, cp = em_prepare_pallas(mask, m, B, C)
+        interp = engine == "pallas_interpret"
+
+        def estep(fA, fB):
+            fa_p, fb_p = em_pad_candidates(fA, fB, cp)
+            dfa, dfb, dll = em_estep_pallas(fa_p, fb_p, maskT, m3, B2,
+                                            total_n, interpret=interp)
+            return dfa[:C], dfb[:C], dll[:C, 0]
+        return estep
     if S * H * H <= MASK_MATERIALIZE_ELEMS:
         mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
         if S * H * H <= 4 * 1024 * 1024:
@@ -426,10 +451,11 @@ def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
     return estep
 
 
-@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget"))
+@functools.partial(jax.jit, static_argnames=("reltol", "mask_budget",
+                                              "engine"))
 def _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2, B,
                      g_new, afreq, total_n, reltol=F32_RELTOL,
-                     mask_budget=None):
+                     mask_budget=None, engine="jnp"):
     """Iteration 0 of the EM (DoubleHaplosInitFreq + first E/M step) and
     the first-iteration-anchored tolerance; returns the resumable state
     (fA, fB, ll, done, it, tol)."""
@@ -440,22 +466,23 @@ def _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2, B,
     fB0 = (freq0[None, :] * afreq[:, None] + EM_INIT_VAL_FRAC) * v
     m = _geno_sel_masks(g_new, freq0.dtype)
     estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
-                        total_n, freq0.dtype, mask_budget)
+                        total_n, freq0.dtype, mask_budget, engine=engine)
     fA1, fB1, ll1 = estep(fA0, fB0)
     tol = reltol * (jnp.abs(ll1) + reltol)
     return fA1, fB1, ll1, jnp.zeros(C, bool), jnp.asarray(1), tol
 
 
-@functools.partial(jax.jit, static_argnames=("mask_budget",))
+@functools.partial(jax.jit, static_argnames=("mask_budget", "engine"))
 def _em_segment_run(freq0, valid, bits, allele, geno_sel, a1, a2, B,
-                    g_new, total_n, state, it_end, mask_budget=None):
+                    g_new, total_n, state, it_end, mask_budget=None,
+                    engine="jnp"):
     """Advance the EM while_loop until convergence, EM_MAX_ITERATIONS, or
     `it_end` (a DYNAMIC scalar: one executable serves any segment length —
     the host chains segments so no single XLA execution outruns the
     dispatch environment, cf. train_fused.fused_grow_segment)."""
     m = _geno_sel_masks(g_new, freq0.dtype)
     estep = _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m,
-                        total_n, freq0.dtype, mask_budget)
+                        total_n, freq0.dtype, mask_budget, engine=engine)
     tol = state[5]
 
     def cond(st):
@@ -496,7 +523,7 @@ def _em_segment_run(freq0, valid, bits, allele, geno_sel, a1, a2, B,
 def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
                                 a2, B, g_new, afreq, total_n,
                                 reltol=F32_RELTOL, iter_seg=32,
-                                mask_budget=None):
+                                mask_budget=None, engine="jnp"):
     """em_all_candidates with at most `iter_seg` EM iterations per device
     dispatch (host-chained segments, state left on device between them).
 
@@ -507,7 +534,7 @@ def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
     exceeds the remote tunnel's single-dispatch ceiling."""
     state = _em_segment_init(freq0, valid, bits, allele, geno_sel, a1, a2,
                              B, g_new, afreq, total_n, reltol=reltol,
-                             mask_budget=mask_budget)
+                             mask_budget=mask_budget, engine=engine)
     while True:
         done, it = np.asarray(state[3]), int(state[4])
         if done.all() or it > EM_MAX_ITERATIONS:
@@ -515,7 +542,7 @@ def em_all_candidates_segmented(freq0, valid, bits, allele, geno_sel, a1,
         state = _em_segment_run(
             freq0, valid, bits, allele, geno_sel, a1, a2, B, g_new,
             total_n, state, jnp.asarray(it + iter_seg),
-            mask_budget=mask_budget)
+            mask_budget=mask_budget, engine=engine)
     fA, fB, ll, done, it, tol = state
     return fA, fB, ll, it
 

@@ -539,7 +539,7 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                    hcap: int = 256, max_steps: int = 256,
                    on_overflow: str = "warn", seg_steps: Optional[int] = None,
                    freeze_max_batch: Optional[int] = None,
-                   resume: bool = False) -> AttrBagModel:
+                   resume: bool = False, engine=None) -> AttrBagModel:
     """Parallel ensemble training (hlaParallelAttrBagging equivalent).
 
     Trains classifiers in device-batched groups of `batch` (default: one per
@@ -555,6 +555,10 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
     bounds single-dispatch wall time automatically; pass 1 at extreme
     (N, hcap) scales where even the default segment outruns the dispatch
     environment's limits.
+
+    engine (fused mode): step-kernel engine — None/"auto" picks the fused
+    Pallas step kernels on TPU and pure jnp elsewhere
+    (train_fused.resolve_engine).
     """
     import os as _os
     import jax
@@ -601,7 +605,8 @@ def train_parallel(hla_table, geno_data, n_classifiers: int = 100,
                                     max_steps=max_steps, mesh=mesh,
                                     seg_steps=seg_steps, progress=prog,
                                     on_overflow=on_overflow,
-                                    freeze_max_batch=freeze_max_batch)
+                                    freeze_max_batch=freeze_max_batch,
+                                    engine=engine)
         else:
             rngs = [RRng((seed + 1000003 * (k0 + j)) % (2**31 - 1))
                     for j in range(kb)]

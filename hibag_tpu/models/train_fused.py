@@ -24,6 +24,7 @@ CVariableSelection::Search exactly (reference src/LibHLA.cpp:1981-2122).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -106,11 +107,12 @@ def _decide(cand_ok, acc_c, loss_c, gmax_acc, gmin_loss, prune):
 @functools.partial(
     jax.jit,
     static_argnames=("n_alleles", "mtry", "prune", "freeze",
-                     "mask_budget"),
+                     "mask_budget", "engine"),
     donate_argnums=(0,))
 def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
                        rare_prob, total_n, n_alleles, mtry,
-                       prune=True, freeze=False, mask_budget=None):
+                       prune=True, freeze=False, mask_budget=None,
+                       engine="jnp"):
     """Advance the fused growth while_loop until every classifier is done
     or ``state.steps`` reaches ``step_limit`` (a dynamic scalar).
 
@@ -130,9 +132,21 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
     buffer and resumes, replaying the frozen step identically (the
     TPU-native equivalent of the reference's unbounded CHaplotypeList
     growth, src/LibHLA.cpp:461-515).
+
+    ``engine``: "jnp" or "pallas"/"pallas_interpret" — the fused Pallas
+    step kernels (ops/train_step_pallas.py) for the EM iteration and the
+    candidate evaluation.  Within one engine the trajectory is fully
+    deterministic and capacity-replay-safe (the freeze==retry tests run
+    under both); across engines results differ by f32 reduction order.
     """
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
+    use_pallas_eval = engine.startswith("pallas")
+    if use_pallas_eval:
+        from ..ops.train_step_pallas import (evaluate_candidates_pallas,
+                                             eval_shapes_supported)
+        Hc0, L0 = state.bits.shape[1], state.bits.shape[2]
+        use_pallas_eval = eval_shapes_supported(Hc0, L0, n_alleles)
 
     def step_one(state_k, B_k, is_oob_k):
         (bits, freq, allele, geno_sel, n_snp, snp_order, pool,
@@ -160,11 +174,19 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
         fA, fB, _, _ = em_all_candidates(freq, valid, bits, allele,
                                          geno_sel, a1, a2, B_k, g_cand,
                                          afreq, total_n,
-                                         mask_budget=mask_budget)
+                                         mask_budget=mask_budget,
+                                         engine=engine)
         fA, fB = erase_rare(fA, fB, rare_prob)
-        acc_c, loss_c = evaluate_candidates(bits, allele, n_snp, fA, fB,
-                                            g_cand, geno_sel, a1, a2,
-                                            is_oob_k, B_k, n_alleles)
+        if use_pallas_eval:
+            acc_c, loss_c = evaluate_candidates_pallas(
+                bits, allele, fA, fB, g_cand, geno_sel, a1, a2,
+                is_oob_k, B_k, n_alleles,
+                interpret=(engine == "pallas_interpret"))
+        else:
+            acc_c, loss_c = evaluate_candidates(bits, allele, n_snp, fA,
+                                                fB, g_cand, geno_sel, a1,
+                                                a2, is_oob_k, B_k,
+                                                n_alleles)
         min_i, max_acc, min_loss, kills = _decide(
             cand_ok, acc_c, jnp.asarray(loss_c, jnp.float32),
             gmax_acc, gmin_loss, prune)
@@ -267,11 +289,23 @@ SEGMENT_SAMPLE_THRESHOLD = 8192
 RETRY_MAX_HCAP = 4096
 
 
+def resolve_engine(engine, backend=None) -> str:
+    """Resolve the step-kernel engine: None/"auto" selects "pallas" on TPU
+    backends and "jnp" elsewhere (shape support is checked per kernel at
+    trace time; unsupported shapes fall back to jnp internally).
+    HIBAG_TPU_STEP_ENGINE overrides."""
+    engine = os.environ.get("HIBAG_TPU_STEP_ENGINE", engine or "auto")
+    if engine in (None, "auto"):
+        backend = backend or jax.default_backend()
+        return "pallas" if backend == "tpu" else "jnp"
+    return engine
+
+
 def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                      rare_prob, total_n, n_alleles, mtry, prune=True,
                      max_steps=256, real_snp=None, seg_steps=None,
                      progress=None, freeze=False, state0=None,
-                     return_state=False, mask_budget=None):
+                     return_state=False, mask_budget=None, engine=None):
     """Grow K classifiers on device, in bounded-length dispatch segments.
 
     bits0/freq0/allele0: [K, Hc, L]/[K, Hc]/[K, Hc] initial singleton
@@ -369,6 +403,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                     f"per-chunk rematerialization (~4-8x per-EM-iteration "
                     f"cost). Train in smaller classifier batches or raise "
                     f"HIBAG_TPU_MASK_BUDGET_MB to keep the packed tier.")
+    engine = resolve_engine(engine)
     budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
@@ -377,7 +412,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
         state = fused_grow_segment(
             state, limit, budget, B, real, geno, a1, a2, rare_prob,
             total_n, n_alleles, mtry, prune, freeze,
-            mask_budget=mask_budget)
+            mask_budget=mask_budget, engine=engine)
         steps_done = int(state.steps)        # syncs once per segment
         done = np.asarray(state.done)
         if progress is not None:
@@ -443,7 +478,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
                       max_steps: int = 256, mesh=None,
                       seg_steps=None, progress=None,
                       on_overflow: str = "warn", _ids=None,
-                      freeze_max_batch=None) -> list:
+                      freeze_max_batch=None, engine=None) -> list:
     """Train K classifiers with the fused device loop; returns Classifiers.
 
     With ``mesh`` (a 1-D jax.sharding.Mesh with axis "ens"), the classifier
@@ -468,6 +503,11 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     Both exact modes cost one compile per hcap bucket — significant under
     a remote-compile tunnel; "freeze" additionally avoids retraining work.
 
+    ``engine``: step-kernel engine, default auto ("pallas" on TPU, "jnp"
+    elsewhere — see ``resolve_engine``); resolved once here so retries and
+    freeze resumes at other capacities run the SAME engine (trajectory
+    consistency across capacity buckets requires it).
+
     Bitwise equivalence scope: "freeze" results equal "retry" results
     bitwise when the eval/EM sample-chunk plans are H-independent (true at
     small/mid shapes, where ``em._chunk_plan`` returns one chunk either
@@ -484,6 +524,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     from .train import _init_haplotype
     from ..utils.rng import RRng
 
+    engine = resolve_engine(engine)
     N, P = ctx.n_samp, ctx.n_snp
     L = MAXNUM_SNP
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
@@ -539,7 +580,8 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
         return _train_freeze(
             ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
             rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
-            progress, put_k, put_r, _mk, freeze_max_batch=freeze_max_batch)
+            progress, put_k, put_r, _mk, freeze_max_batch=freeze_max_batch,
+            engine=engine)
 
     bits, freq, allele, n_snp, snp_order, acc_cnt, overflow = \
         fused_grow_batch(
@@ -550,7 +592,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
             put_r(ctx.a1_j), put_r(ctx.a2_j), put_k(keys),
             rare_prob, float(N), ctx.n_alleles, mtry, prune, max_steps,
             seg_steps=seg_steps, progress=progress,
-            real_snp=put_r(jnp.asarray(real_snp)))
+            real_snp=put_r(jnp.asarray(real_snp)), engine=engine)
     overflow = np.asarray(overflow)
     retry_map = {}
     if overflow.any():
@@ -571,7 +613,7 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
             retrained = train_fused_batch(
                 ctx, len(retry_ids), seed, mtry, prune, hcap * 2, 0,
                 max_steps, mesh=retry_mesh, seg_steps=seg_steps,
-                on_overflow=on_overflow, _ids=retry_ids)
+                on_overflow=on_overflow, _ids=retry_ids, engine=engine)
             retry_map = dict(zip(bad, retrained[:len(bad)]))
         else:
             import warnings
@@ -599,7 +641,8 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
 
 def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
                   rare_prob, mtry, prune, hcap, max_steps, mesh, seg_steps,
-                  progress, put_k, put_r, mk, freeze_max_batch=None):
+                  progress, put_k, put_r, mk, freeze_max_batch=None,
+                  engine=None):
     """on_overflow="freeze" driver: grow with freeze-at-first-drop, then
     repeatedly re-seat the frozen classifiers at escalated capacity and
     resume them, never re-running a completed growth step.  Equal to
@@ -625,7 +668,7 @@ def _train_freeze(ctx, K, bits0, freq0, allele0, Bs, real, real_snp, keys,
               put_r(ctx.a1_j), put_r(ctx.a2_j))
     grow_kw = dict(seg_steps=seg_steps, progress=progress,
                    real_snp=put_r(jnp.asarray(real_snp)),
-                   return_state=True)
+                   return_state=True, engine=engine)
     state = fused_grow_batch(
         put_k(jnp.asarray(bits0)), put_k(jnp.asarray(freq0)),
         put_k(jnp.asarray(allele0)), put_k(jnp.asarray(Bs_f)), *common,
