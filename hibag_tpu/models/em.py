@@ -413,22 +413,41 @@ def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
     S, H = geno_sel.shape[0], bits.shape[0]
     if mask_budget is None:
         mask_budget = MASK_PACKED_BUDGET_BYTES
-    if (engine.startswith("pallas") and dtype == jnp.float32
-            and H % 128 == 0 and S * H * H <= mask_budget):
-        from ..ops.train_step_pallas import (em_estep_pallas,
-                                             em_pad_candidates,
-                                             em_prepare_pallas)
+    if (engine in ("pallas", "pallas_em", "pallas_interpret")
+            and dtype == jnp.float32 and H % 128 == 0):
+        from ..ops.train_step_pallas import (
+            EM_PACKED_MAX_H, em_estep_pallas, em_estep_pallas_packed,
+            em_pad_candidates, em_prepare_packed_pallas, em_prepare_pallas)
         C = m.shape[0]
-        mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
-        maskT, m3, B2, cp = em_prepare_pallas(mask, m, B, C)
         interp = engine == "pallas_interpret"
+        if S * H * H <= mask_budget:
+            # int8 mask resident: the small/mid-scale kernel tier
+            mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
+            maskT, m3, B2, cp = em_prepare_pallas(mask, m, B, C)
 
-        def estep(fA, fB):
-            fa_p, fb_p = em_pad_candidates(fA, fB, cp)
-            dfa, dfb, dll = em_estep_pallas(fa_p, fb_p, maskT, m3, B2,
-                                            total_n, interpret=interp)
-            return dfa[:C], dfb[:C], dll[:C, 0]
-        return estep
+            def estep(fA, fB):
+                fa_p, fb_p = em_pad_candidates(fA, fB, cp)
+                dfa, dfb, dll = em_estep_pallas(
+                    fa_p, fb_p, maskT, m3, B2, total_n, interpret=interp)
+                return dfa[:C], dfb[:C], dll[:C, 0]
+            return estep
+        if (H <= EM_PACKED_MAX_H
+                and S * H * (H // 8) <= mask_budget):
+            # bit-packed mask resident (cohort scale): in-kernel unpack
+            packed = match_pairs_packed(bits, valid, allele, geno_sel,
+                                        a1, a2)
+            packedT, m3, B2, cp = em_prepare_packed_pallas(packed, m, B,
+                                                           C, H)
+
+            def estep(fA, fB):
+                fa_p, fb_p = em_pad_candidates(fA, fB, cp)
+                dfa, dfb, dll = em_estep_pallas_packed(
+                    fa_p, fb_p, packedT, m3, B2, total_n,
+                    interpret=interp)
+                return dfa[:C], dfb[:C], dll[:C, 0]
+            return estep
+        # masks beyond the packed budget: fall through to the jnp
+        # rematerialization tier below
     if S * H * H <= MASK_MATERIALIZE_ELEMS:
         mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
         if S * H * H <= 4 * 1024 * 1024:

@@ -141,7 +141,8 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
     """
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
-    use_pallas_eval = engine.startswith("pallas")
+    use_pallas_eval = engine in ("pallas", "pallas_eval",
+                                 "pallas_interpret")
     if use_pallas_eval:
         from ..ops.train_step_pallas import (evaluate_candidates_pallas,
                                              eval_shapes_supported)
@@ -289,15 +290,27 @@ SEGMENT_SAMPLE_THRESHOLD = 8192
 RETRY_MAX_HCAP = 4096
 
 
-def resolve_engine(engine, backend=None) -> str:
-    """Resolve the step-kernel engine: None/"auto" selects "pallas" on TPU
-    backends and "jnp" elsewhere (shape support is checked per kernel at
-    trace time; unsupported shapes fall back to jnp internally).
+def resolve_engine(engine, backend=None, n_samples=None) -> str:
+    """Resolve the step-kernel engine.  None/"auto" picks by MEASURED win
+    regions (interleaved same-process v5e sweeps, COVERAGE.md round 5):
+
+    * "jnp" at small sample counts — XLA fuses the jnp step near its HBM
+      roofline there (headline N=64: jnp 27.8 vs pallas-eval 23.9 cls/s;
+      the Pallas calls pay per-invocation/materialization costs that tiny
+      working sets cannot amortize);
+    * "pallas_eval" (Pallas candidate evaluation + jnp EM) from N >= 512
+      on TPU (mid-scale N=1024: 3.17 vs 3.06 cls/s, and the gap widens
+      with N as the jnp eval's HBM intermediates grow);
+    * the full-"pallas" EM kernels measured slower at every tested scale
+      and remain explicit-opt-in only.
+
     HIBAG_TPU_STEP_ENGINE overrides."""
     engine = os.environ.get("HIBAG_TPU_STEP_ENGINE", engine or "auto")
     if engine in (None, "auto"):
         backend = backend or jax.default_backend()
-        return "pallas" if backend == "tpu" else "jnp"
+        if backend != "tpu":
+            return "jnp"
+        return "pallas_eval" if (n_samples or 0) >= 512 else "jnp"
     return engine
 
 
@@ -403,7 +416,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                     f"per-chunk rematerialization (~4-8x per-EM-iteration "
                     f"cost). Train in smaller classifier batches or raise "
                     f"HIBAG_TPU_MASK_BUDGET_MB to keep the packed tier.")
-    engine = resolve_engine(engine)
+    engine = resolve_engine(engine, n_samples=N)
     budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
@@ -524,8 +537,8 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     from .train import _init_haplotype
     from ..utils.rng import RRng
 
-    engine = resolve_engine(engine)
     N, P = ctx.n_samp, ctx.n_snp
+    engine = resolve_engine(engine, n_samples=ctx.n_samp_pad)
     L = MAXNUM_SNP
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
     ids = (list(range(first_id, first_id + K)) if _ids is None

@@ -46,11 +46,41 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import LOG_MIN_RARE_FREQ
 
 BIG = 1e9
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Mosaic's pallas dot lowering supports only DEFAULT (1-pass bf16) and
+# HIGHEST (6-pass) precision, so the bf16-split passes are written out by
+# hand: 2 passes when one operand is EXACT in bf16 ({0,1} masks, one-hot
+# groupings), 3 otherwise — the same ~17-bit-mantissa fidelity as XLA's
+# Precision.HIGH that the jnp paths use, at 1/3-1/2 the MXU cost of
+# HIGHEST.  Every product here is nonnegative, so there is no
+# cancellation to amplify the split residuals.
+
+def _split_bf16(A):
+    hi = A.astype(jnp.bfloat16)
+    lo = (A - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_exact_rhs(A, B16):
+    """A [m,k] f32 @ B16 [k,n] bf16-exact -> f32, 2 MXU passes."""
+    hi, lo = _split_bf16(A)
+    return (jnp.dot(hi, B16, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, B16, preferred_element_type=jnp.float32))
+
+
+def _dot_f32x3(A, B):
+    """A @ B with both operands split hi/lo (lo*lo dropped): 3 MXU
+    passes, ~Precision.HIGH fidelity."""
+    ah, al = _split_bf16(A)
+    bh, bl = _split_bf16(B)
+    return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+            + (jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+               + jnp.dot(al, bh, preferred_element_type=jnp.float32)))
 
 
 # ---------------------------------------------------------------------------
@@ -62,8 +92,11 @@ def _em_kernel(maskT_ref, fboth_ref, m3_ref, b_ref, tn_ref,
     """One sample-chunk of the E+M step for all candidates.
 
     maskT [Sc*H, H] int8 (matched-pair mask rows (s,h)); fboth [2Cp, H]
-    (rows (e, c): e=0 -> fA, e=1 -> fB); m3 [3, Cp, Sc] genotype-selection
-    masks (m00/m01/m11); b [Sc, 1] bootstrap counts; tn [1,1] total_n.
+    (rows (e, c): e=0 -> fA, e=1 -> fB); m3 [Sc, Cp, 8] genotype-selection
+    masks (lanes 0..2 = m00/m01/m11 — candidate axis on sublanes, so the
+    per-sample [Cp,1] selectors are plain slices and the block's trailing
+    dims satisfy Mosaic's (8,128)-or-full tiling rule); b [Sc, 1]
+    bootstrap counts; tn [1,1] total_n.
     Outputs accumulate over the chunk grid: dfA/dfB [Cp, H], dll [Cp, 1].
     """
     i = pl.program_id(0)
@@ -72,13 +105,9 @@ def _em_kernel(maskT_ref, fboth_ref, m3_ref, b_ref, tn_ref,
     fb = F[cp:]
     fa2 = jnp.concatenate([fa, fa], axis=0)            # [2Cp, H]
     fb2 = jnp.concatenate([fb, fb], axis=0)
-    mask_f = maskT_ref[:].astype(jnp.float32)          # [Sc*H, H]
-    # t[(e,c),(s,h)] = sum_j f_e[c,j] * mask[s,h,j] — ONE MXU pass
-    T = jnp.dot(F, mask_f.T, preferred_element_type=jnp.float32,
-                precision=_HIGH)                       # [2Cp, Sc*H]
-    m00a = m3_ref[0]                                   # [Cp, Sc]
-    m01a = m3_ref[1]
-    m11a = m3_ref[2]
+    mask_bf = maskT_ref[:].astype(jnp.bfloat16)        # [Sc*H, H], exact
+    # t[(e,c),(s,h)] = sum_j f_e[c,j] * mask[s,h,j] — one split MXU pass
+    T = _dot_exact_rhs(F, mask_bf.T)                   # [2Cp, Sc*H]
 
     accA = jnp.zeros((2 * cp, h), jnp.float32)
     accB = jnp.zeros((2 * cp, h), jnp.float32)
@@ -87,9 +116,10 @@ def _em_kernel(maskT_ref, fboth_ref, m3_ref, b_ref, tn_ref,
         Te = T[:, s * h:(s + 1) * h]                   # [2Cp, H]
         sA = jnp.sum(Te * fa2, axis=1, keepdims=True)  # [2Cp,1] = s_{0,e}
         sB = jnp.sum(Te * fb2, axis=1, keepdims=True)  # s_{1,e}
-        m00 = m00a[:, s:s + 1]
-        m01 = m01a[:, s:s + 1]
-        m11 = m11a[:, s:s + 1]
+        mt = m3_ref[s]                                 # [Cp, 8]
+        m00 = mt[:, 0:1]
+        m01 = mt[:, 1:2]
+        m11 = mt[:, 2:3]
         # psum = m00*s00 + m01*s01 + m01*s10 + m11*s11 (same expansion as
         # em._em_estep_chunk)
         psum = (m00 * sA[:cp] + m01 * sA[cp:] + m01 * sB[:cp]
@@ -127,13 +157,76 @@ def em_chunk_size(H: int) -> int:
     return int(max(8, min(64, (sc // 8) * 8)))
 
 
+def _em_kernel_packed(packed_ref, fboth_ref, m3_ref, b_ref, tn_ref,
+                      dfa_out, dfb_out, dll_out, *, sc, cp, h):
+    """Packed-mask variant of _em_kernel for cohort scale: the pair mask
+    streams as a bitfield (uint8 [Sc*H, H/8], 8x less HBM than int8) and
+    is unpacked in VMEM by shift/and into the PERMUTED column order
+    p = b*(H/8) + k <-> j = 8k + b; the caller permutes fboth's H axis to
+    match (em_permute_cols), which only reorders the exact lane summation.
+    """
+    i = pl.program_id(0)
+    # caller stacks fboth = [original 2Cp rows | permuted 2Cp rows]: the
+    # df updates and s-sums use the ORIGINAL h order (T's h axis is the
+    # mask ROW index, untouched by the column permutation); the T matmul
+    # uses the permuted rows to match the unpacked column order
+    fa = fboth_ref[:cp]
+    fb = fboth_ref[cp:2 * cp]
+    Fp = fboth_ref[2 * cp:]                            # [2Cp, H] permuted
+    fa2 = jnp.concatenate([fa, fa], axis=0)
+    fb2 = jnp.concatenate([fb, fb], axis=0)
+
+    accA = jnp.zeros((2 * cp, h), jnp.float32)
+    accB = jnp.zeros((2 * cp, h), jnp.float32)
+    dll = jnp.zeros((cp, 1), jnp.float32)
+    for s in range(sc):
+        p32 = packed_ref[pl.ds(s * h, h), :].astype(jnp.int32)  # [H, H/8]
+        unp = jnp.concatenate(
+            [((p32 >> b) & 1).astype(jnp.bfloat16) for b in range(8)],
+            axis=1)                                    # [H, H] exact bf16
+        Te = _dot_exact_rhs(Fp, unp.T)                 # [2Cp, H]
+        sA = jnp.sum(Te * fa2, axis=1, keepdims=True)
+        sB = jnp.sum(Te * fb2, axis=1, keepdims=True)
+        mt = m3_ref[s]
+        m00 = mt[:, 0:1]
+        m01 = mt[:, 1:2]
+        m11 = mt[:, 2:3]
+        psum = (m00 * sA[:cp] + m01 * sA[cp:] + m01 * sB[:cp]
+                + m11 * sB[cp:])
+        ps = jnp.maximum(psum, 1e-37)
+        Bs = b_ref[s, 0]
+        wgt = Bs / ps
+        w00 = wgt * m00
+        w01 = wgt * m01
+        w11 = wgt * m11
+        accA = accA + Te * jnp.concatenate([w00, w01], axis=0)
+        accB = accB + Te * jnp.concatenate([w01, w11], axis=0)
+        dll = dll + Bs * jnp.log(ps)
+
+    inv_tn = 1.0 / tn_ref[0, 0]
+    dfa = fa * (accA[:cp] + accA[cp:]) * inv_tn
+    dfb = fb * (accB[:cp] + accB[cp:]) * inv_tn
+
+    @pl.when(i == 0)
+    def _():
+        dfa_out[:] = dfa
+        dfb_out[:] = dfb
+        dll_out[:] = dll
+
+    @pl.when(i != 0)
+    def _():
+        dfa_out[:] += dfa
+        dfb_out[:] += dfb
+        dll_out[:] += dll
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def em_estep_pallas(fA, fB, maskT, m3, B2, total_n, interpret=False):
     """One E+M step from a pre-packed mask; drop-in for the per-iteration
     body of em._em_estep_masked (fused f32 mode only).
 
     fA/fB [Cp, H] (candidate-padded: pad rows DUPLICATE candidate 0 so
-    psum stays positive); maskT [S_pad*H, H] int8; m3 [3, Cp, S_pad] f32;
+    psum stays positive); maskT [S_pad*H, H] int8; m3 [S_pad, Cp, 8] f32;
     B2 [S_pad, 1] f32 (0 in padded rows); total_n scalar.
     Returns (dfA [Cp,H], dfB [Cp,H], dll [Cp,1]).
     """
@@ -153,7 +246,7 @@ def em_estep_pallas(fA, fB, maskT, m3, B2, total_n, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * cp, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, cp, sc), lambda i: (0, 0, i),
+            pl.BlockSpec((sc, cp, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sc, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -180,12 +273,100 @@ def em_estep_pallas(fA, fB, maskT, m3, B2, total_n, interpret=False):
     return dfa, dfb, dll
 
 
+def em_unpack_perm(H: int) -> np.ndarray:
+    """Column permutation produced by the kernel's shift/and unpack of the
+    _pack_mask bitfield: unpacked column p = b*(H/8) + k holds original
+    column j = 8k + b."""
+    p = np.arange(H)
+    b, k = p // (H // 8), p % (H // 8)
+    return (8 * k + b).astype(np.int32)
+
+
+#: sample-chunk for the packed kernel (per-sample unpack keeps VMEM flat,
+#: so the chunk only needs sublane alignment for the [Sc,1] blocks)
+EM_PACKED_CHUNK = 8
+#: largest H the packed kernel accepts (the [H, H] bf16 per-sample unpack
+#: plus the T matmul transient must fit VMEM with the packed block)
+EM_PACKED_MAX_H = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def em_estep_pallas_packed(fA, fB, packedT, m3, B2, total_n,
+                           interpret=False):
+    """Packed-mask E+M step: drop-in for em._em_estep_packed's iteration
+    body.  fA/fB [Cp, H] candidate-padded (ORIGINAL h order); packedT
+    [S_pad*H, H//8] uint8 (_pack_mask layout, rows (s,h)); m3/B2 as in
+    em_estep_pallas.  Returns (dfA, dfB [Cp,H], dll [Cp,1])."""
+    cp, H = fA.shape
+    S = B2.shape[0]
+    sc = EM_PACKED_CHUNK
+    assert S % sc == 0 and packedT.shape == (S * H, H // 8)
+    perm = jnp.asarray(em_unpack_perm(H))
+    fboth = jnp.concatenate([fA, fB], axis=0)
+    fboth = jnp.concatenate([fboth, fboth[:, perm]], axis=0)  # [4Cp, H]
+    tn = jnp.full((1, 1), total_n, jnp.float32)
+    kern = functools.partial(_em_kernel_packed, sc=sc, cp=cp, h=H)
+    dfa, dfb, dll = pl.pallas_call(
+        kern,
+        grid=(S // sc,),
+        in_specs=[
+            pl.BlockSpec((sc * H, H // 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cp, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, cp, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cp, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, H), jnp.float32),
+            jax.ShapeDtypeStruct((cp, H), jnp.float32),
+            jax.ShapeDtypeStruct((cp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * H * (2 * cp * H + 8 * cp),
+            bytes_accessed=S * H * (H // 8) + 4 * cp * H * 4
+            + S * cp * 8 * 4,
+            transcendentals=S * cp,
+        ),
+        interpret=interpret,
+    )(packedT, fboth, m3, B2, tn)
+    return dfa, dfb, dll
+
+
+def em_prepare_packed_pallas(packed, m, B, C, H):
+    """Kernel-layout conversion for the packed tier: packed [S,H,H//8]
+    uint8 -> [S_pad*H, H//8]; m/B as in em_prepare_pallas."""
+    S = packed.shape[0]
+    sc = EM_PACKED_CHUNK
+    S_pad = _round_up(S, sc)
+    cp = _round_up(C, 8)
+    if S_pad != S:
+        packed = jnp.pad(packed, ((0, S_pad - S), (0, 0), (0, 0)))
+    packedT = packed.reshape(S_pad * H, H // 8)
+    m3 = jnp.swapaxes(m, 0, 1)
+    if cp != C:
+        m3 = jnp.concatenate(
+            [m3, jnp.broadcast_to(m3[:, :1], (S, cp - C, 3))], axis=1)
+    m3 = jnp.pad(m3, ((0, S_pad - S), (0, 0), (0, 5)))
+    B2 = jnp.pad(B.astype(jnp.float32), (0, S_pad - S))[:, None]
+    return packedT, m3, B2, cp
+
+
 def em_prepare_pallas(mask, m, B, C):
     """Host-side (traced, once per growth step) conversion of the jnp-tier
     EM inputs to the kernel layouts: mask [S,H,H] bool -> maskT int8
-    [S_pad*H, H]; m [C,S,3] -> m3 [3, Cp, S_pad] (pad candidates DUPLICATE
-    candidate 0 — zero-padding would produce inf EM weights); B [S] ->
-    [S_pad, 1].  Returns (maskT, m3, B2, Cp)."""
+    [S_pad*H, H]; m [C,S,3] -> m3 [S_pad, Cp, 8] (lanes 0..2; pad
+    candidates DUPLICATE candidate 0 — zero-padding would produce inf EM
+    weights); B [S] -> [S_pad, 1].  Returns (maskT, m3, B2, Cp)."""
     S, H, _ = mask.shape
     sc = em_chunk_size(H)
     S_pad = _round_up(S, sc)
@@ -194,12 +375,11 @@ def em_prepare_pallas(mask, m, B, C):
     if S_pad != S:
         maskT = jnp.pad(maskT, ((0, S_pad - S), (0, 0), (0, 0)))
     maskT = maskT.reshape(S_pad * H, H)
-    m3 = jnp.moveaxis(m, 2, 0)                       # [3, C, S]
+    m3 = jnp.swapaxes(m, 0, 1)                       # [S, C, 3]
     if cp != C:
         m3 = jnp.concatenate(
-            [m3, jnp.broadcast_to(m3[:, :1], (3, cp - C, S))], axis=1)
-    if S_pad != S:
-        m3 = jnp.pad(m3, ((0, 0), (0, 0), (0, S_pad - S)))
+            [m3, jnp.broadcast_to(m3[:, :1], (S, cp - C, 3))], axis=1)
+    m3 = jnp.pad(m3, ((0, S_pad - S), (0, 0), (0, 5)))
     B2 = jnp.pad(B.astype(jnp.float32), (0, S_pad - S))[:, None]
     return maskT, m3, B2, cp
 
@@ -223,7 +403,7 @@ def em_pad_candidates(fA, fB, cp):
 def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
                  pdq_ref, a1_ref, a2_ref, oob_ref, b_ref,
                  acc_out, ll_out,
-                 mf2_s, fexp_s, hm_s, pen_s, w_s,
+                 mf2_s, fexp_s,
                  *, nb, ap, cp, h):
     """One nb-sample block of candidate evaluation for one classifier.
 
@@ -265,49 +445,41 @@ def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
                                                        keepdims=True)
     v = jnp.dot(hb, u.T, preferred_element_type=jnp.float32)    # [H, nb]
     v2 = jnp.dot(u, hb.T, preferred_element_type=jnp.float32) + alpha
-    for s in range(nb):
-        hm_s[pl.ds(s * h, h), :] = (hb2 * m1[s, :][None, :]).astype(
-            jnp.bfloat16)
-    cross = jnp.dot(hm_s[:], hb16.T,
-                    preferred_element_type=jnp.float32)  # [nb*H, H]
-    for s in range(nb):
-        D = (v[:, s:s + 1] + v2[s:s + 1, :] + cross[s * h:(s + 1) * h]
-             + M)
-        dmin = jnp.min(D)
-        # invalid rows/cols carry +BIG and underflow to exactly 0 here
-        pen_s[:, pl.ds(s * h, h)] = jnp.exp(
-            LOG_MIN_RARE_FREQ * (D - dmin))
-
-    # --- grouped contraction: U[(b,a,c),(s,h)] -------------------------
-    U = jnp.dot(mf2_s[:], pen_s[:], preferred_element_type=jnp.float32,
-                precision=_HIGH)                        # [2ApCp, nb*H]
 
     # hoisted index patterns for the per-sample reductions
     row_a = jax.lax.broadcasted_iota(jnp.int32, (apcp, 128), 0) // cp
     lane = jax.lax.broadcasted_iota(jnp.int32, (apcp, 128), 1)
     diag2 = jnp.where(row_a == lane, 1.0, 2.0)          # [ApCp, 128]
     flatv = row_a * 128 + lane
+    oht16 = oht_ref[:].astype(jnp.bfloat16)
 
     acc = jnp.zeros((cp, 1), jnp.float32)
     ll = jnp.zeros((cp, 1), jnp.float32)
+    # fully per-sample pipeline: [H,H] penalties, the [2ApCp,H] grouped
+    # contraction U and the [ApCp,H] pd/frequency fold all stay transient
+    # in VMEM — block depth nb never scales any buffer
     for s in range(nb):
-        U0 = U[:apcp, s * h:(s + 1) * h]                # [ApCp, H]
-        U1 = U[apcp:, s * h:(s + 1) * h]
+        hm = (hb2 * m1[s, :][None, :]).astype(jnp.bfloat16)
+        cross = jnp.dot(hm, hb16.T,
+                        preferred_element_type=jnp.float32)  # [H, H]
+        D = v[:, s:s + 1] + v2[s:s + 1, :] + cross + M
+        dmin = jnp.min(D)
+        # invalid rows/cols carry +BIG and underflow to exactly 0 here
+        pen = jnp.exp(LOG_MIN_RARE_FREQ * (D - dmin))   # [H, H]
+
+        U = _dot_f32x3(mf2_s[:], pen)                   # [2ApCp, H]
+        U0 = U[:apcp]
+        U1 = U[apcp:]
         pdt = pdq_ref[s]                                # [Cp, 8]
         pd0 = jnp.concatenate([pdt[:, 0:1]] * ap, axis=0)   # [ApCp, 1]
         pd1 = jnp.concatenate([pdt[:, 1:2]] * ap, axis=0)
         pd2 = jnp.concatenate([pdt[:, 2:3]] * ap, axis=0)
         V0 = pd0 * U0 + pd1 * U1
         V1 = pd1 * U0 + pd2 * U1
-        w_s[pl.ds(s * apcp, apcp), :] = (fexp_s[:apcp] * V0
-                                         + fexp_s[apcp:] * V1)
-
-    # S[(s,a,c), B] — ONE matmul, the one-hot grouping shared across c
-    S_all = jnp.dot(w_s[:], oht_ref[:], preferred_element_type=jnp.float32,
-                    precision=_HIGH)                    # [nb*ApCp, 128]
-
-    for s in range(nb):
-        slab = S_all[s * apcp:(s + 1) * apcp, :]        # [ApCp, 128]
+        W = fexp_s[:apcp] * V0 + fexp_s[apcp:] * V1     # [ApCp, H]
+        # S[(a,c), B] — the one-hot grouping shared across c (exact {0,1}
+        # in bf16 -> 2 split passes)
+        slab = _dot_exact_rhs(W, oht16)                 # [ApCp, 128]
         # total[c] = sum over (a, B)
         tot = slab[:cp, :]
         for a in range(1, ap):
@@ -362,9 +534,10 @@ def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
 
 
 def eval_block_size(H: int) -> int:
-    """Sample-block depth: VMEM is dominated by the [2ApCp, nb*H] U value
-    and the [H, nb*H] penalty scratch."""
-    return 8 if H <= 128 else (4 if H <= 256 else 2)
+    """Sample-block depth: the per-sample pipeline keeps every big buffer
+    transient, so the block never scales VMEM — 8 satisfies Mosaic's
+    sublane tiling for every small input block."""
+    return 8
 
 
 @functools.partial(jax.jit, static_argnames=("n_alleles", "interpret"))
@@ -464,9 +637,6 @@ def evaluate_candidates_pallas(bits, allele, fA, fB, g_cand, geno_sel,
         scratch_shapes=[
             pltpu.VMEM((2 * apcp, H), jnp.float32),   # Mf2
             pltpu.VMEM((2 * apcp, H), jnp.float32),   # F expanded
-            pltpu.VMEM((nb * H, L), jnp.bfloat16),    # hm
-            pltpu.VMEM((H, nb * H), jnp.float32),     # penalties
-            pltpu.VMEM((nb * apcp, H), jnp.float32),  # W
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * N_pad * (H * L + H * H * L

@@ -50,9 +50,40 @@ def test_em_estep_kernel_matches_jnp():
     fa_p, fb_p = em_pad_candidates(fA, fB, cp)
     dfa, dfb, dll = em_estep_pallas(fa_p, fb_p, maskT, m3, B2, 24.0,
                                     interpret=True)
-    np.testing.assert_allclose(dfa[:Cm], ref[0], rtol=2e-6, atol=1e-9)
-    np.testing.assert_allclose(dfb[:Cm], ref[1], rtol=2e-6, atol=1e-9)
-    np.testing.assert_allclose(dll[:Cm, 0], ref[2], rtol=2e-6)
+    # the kernel's split matmul is bf16x2 (~17-bit mantissa): tolerances
+    # cover the split residual, far inside the EM convergence reltol
+    np.testing.assert_allclose(dfa[:Cm], ref[0], rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(dfb[:Cm], ref[1], rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(dll[:Cm, 0], ref[2], rtol=1e-4)
+
+
+def test_em_estep_packed_kernel_matches_jnp():
+    import jax.numpy as jnp
+    from hibag_tpu.models.em import (_em_estep_masked, _geno_sel_masks,
+                                     match_pairs, match_pairs_packed)
+    from hibag_tpu.ops.train_step_pallas import (
+        em_estep_pallas_packed, em_pad_candidates, em_prepare_packed_pallas)
+
+    bits, freq, allele, geno_sel, a12, B, g_cand, fA, fB, A = \
+        _rand_problem(seed=4)
+    Cm, H = fA.shape
+    valid = freq > 0
+    common = (jnp.asarray(bits), jnp.asarray(valid), jnp.asarray(allele),
+              jnp.asarray(geno_sel), jnp.asarray(a12[0]),
+              jnp.asarray(a12[1]))
+    mask = match_pairs(*common)
+    packed = match_pairs_packed(*common)
+    m = _geno_sel_masks(jnp.asarray(g_cand), jnp.float32)
+    fA, fB, Bj = jnp.asarray(fA), jnp.asarray(fB), jnp.asarray(B)
+
+    ref = _em_estep_masked(fA, fB, mask, Bj, m, 24.0)
+    packedT, m3, B2, cp = em_prepare_packed_pallas(packed, m, Bj, Cm, H)
+    fa_p, fb_p = em_pad_candidates(fA, fB, cp)
+    dfa, dfb, dll = em_estep_pallas_packed(fa_p, fb_p, packedT, m3, B2,
+                                           24.0, interpret=True)
+    np.testing.assert_allclose(dfa[:Cm], ref[0], rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(dfb[:Cm], ref[1], rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(dll[:Cm, 0], ref[2], rtol=1e-4)
 
 
 def test_eval_kernel_matches_jnp():
