@@ -299,10 +299,16 @@ def resolve_engine(engine, backend=None, n_samples=None) -> str:
       the Pallas calls pay per-invocation/materialization costs that tiny
       working sets cannot amortize);
     * "pallas_eval" (Pallas candidate evaluation + jnp EM) from N >= 512
-      on TPU (mid-scale N=1024: 3.17 vs 3.06 cls/s, and the gap widens
-      with N as the jnp eval's HBM intermediates grow);
+      on TPU (mid-scale N=1024: 3.17 vs 3.06 cls/s; cohort resumes
+      N=102,400, H=640: eval 1.55 s vs 2.06 s — eval dominates those
+      steps).  Shapes past the kernel's VMEM ceiling (H > EVAL_MAX_H)
+      fall back to the jnp eval per growth phase, so a freeze resume can
+      cross the effective-eval-engine boundary — same order-defined tie
+      class as the H-dependent chunk plans (COVERAGE.md round-4 caveat);
     * the full-"pallas" EM kernels measured slower at every tested scale
-      and remain explicit-opt-in only.
+      (headline 20.7 cls/s vs jnp 27.8; cohort H=640 ~165 ms/iter vs jnp
+      packed ~120 ms/iter — the jnp packed tier is already within ~2x of
+      the unpack-VPU + T-matmul roofline) and remain explicit-opt-in.
 
     HIBAG_TPU_STEP_ENGINE overrides."""
     engine = os.environ.get("HIBAG_TPU_STEP_ENGINE", engine or "auto")

@@ -36,6 +36,7 @@ K axis rides an outer vmap/grid dimension that never changes per-k math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -403,7 +404,7 @@ def em_pad_candidates(fA, fB, cp):
 def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
                  pdq_ref, a1_ref, a2_ref, oob_ref, b_ref,
                  acc_out, ll_out,
-                 mf2_s, fexp_s,
+                 mf2_s,
                  *, nb, ap, cp, h):
     """One nb-sample block of candidate evaluation for one classifier.
 
@@ -420,14 +421,11 @@ def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
     @pl.when(i == 0)
     def _():
         # per-classifier constants, persistent scratch across the grid:
-        # Mf2[(b,a,c), j] = f_b[c,j] * [allele_j == a], and the A-expanded
-        # frequency rows used by the pd fold
+        # Mf2[(b,a,c), j] = f_b[c,j] * [allele_j == a]
         for a in range(ap):
             oh = ohl_ref[a:a + 1, :]                    # [1, H]
             mf2_s[a * cp:(a + 1) * cp, :] = fa * oh
             mf2_s[apcp + a * cp:apcp + (a + 1) * cp, :] = fb * oh
-            fexp_s[a * cp:(a + 1) * cp, :] = fa
-            fexp_s[apcp + a * cp:apcp + (a + 1) * cp, :] = fb
 
     # --- distances for the block (ops/scoring.py decomposition) ----------
     hb = bits_ref[:]                                    # [H, L]
@@ -476,7 +474,12 @@ def _eval_kernel(bits_ref, geno_ref, fab_ref, ohl_ref, oht_ref, valid_ref,
         pd2 = jnp.concatenate([pdt[:, 2:3]] * ap, axis=0)
         V0 = pd0 * U0 + pd1 * U1
         V1 = pd1 * U0 + pd2 * U1
-        W = fexp_s[:apcp] * V0 + fexp_s[apcp:] * V1     # [ApCp, H]
+        # W[(a,c)] = fa[c] * V0[(a,c)] + fb[c] * V1[(a,c)] — per-a slices
+        # of fab, no A-expanded frequency scratch (VMEM: the expansion
+        # scratch pushed H=640 past the 16 MB ceiling)
+        W = jnp.concatenate(
+            [fa * V0[a * cp:(a + 1) * cp] + fb * V1[a * cp:(a + 1) * cp]
+             for a in range(ap)], axis=0)               # [ApCp, H]
         # S[(a,c), B] — the one-hot grouping shared across c (exact {0,1}
         # in bf16 -> 2 split passes)
         slab = _dot_exact_rhs(W, oht16)                 # [ApCp, 128]
@@ -636,7 +639,6 @@ def evaluate_candidates_pallas(bits, allele, fA, fB, g_cand, geno_sel,
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * apcp, H), jnp.float32),   # Mf2
-            pltpu.VMEM((2 * apcp, H), jnp.float32),   # F expanded
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * N_pad * (H * L + H * H * L
@@ -651,6 +653,17 @@ def evaluate_candidates_pallas(bits, allele, fA, fB, g_cand, geno_sel,
     return acc[:C, 0].astype(jnp.int32), ll[:C, 0]
 
 
+#: largest H the eval kernel accepts.  VMEM bound: the persistent Mf2
+#: scratch [2*A*Cp, H] f32 plus the per-sample pen/U/W transients reach
+#: ~15.2 MB of the 16 MB ceiling at A=14, Cp=32, H=640 (H=768 would need
+#: ~18 MB).  640 is the dominant freeze-resume capacity of the
+#: exact-at-scale cohort run, where this kernel measures 1.55 s vs the
+#: jnp eval's 2.06 s per step at N=102,400 (scripts/
+#: profile_eval_cohort.py, COVERAGE.md round 5).  Env override for
+#: profiling experiments.
+EVAL_MAX_H = int(os.environ.get("HIBAG_TPU_EVAL_MAX_H", "640"))
+
+
 def eval_shapes_supported(H: int, L: int, A: int) -> bool:
     """Kernel layout preconditions (callers fall back to the jnp path)."""
-    return (H % 128 == 0) and (L == 128) and (A <= 128) and (H <= 512)
+    return (H % 128 == 0) and (L == 128) and (A <= 128) and (H <= EVAL_MAX_H)
