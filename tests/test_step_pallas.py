@@ -112,6 +112,32 @@ def test_eval_kernel_matches_jnp():
     np.testing.assert_allclose(ll_p, ll_r, rtol=1e-4)
 
 
+def test_eval_kernel_h640():
+    """H=640 — the cohort freeze-resume capacity the kernel gained in
+    round 5 (EVAL_MAX_H; the VMEM fit is asserted by the TPU profiler,
+    this pins the math at the new geometry: 5 lane tiles, padded
+    candidate slices)."""
+    import jax.numpy as jnp
+    from hibag_tpu.models.em import evaluate_candidates
+    from hibag_tpu.ops.train_step_pallas import (eval_shapes_supported,
+                                                 evaluate_candidates_pallas)
+
+    assert eval_shapes_supported(640, 128, 14)
+    assert not eval_shapes_supported(768, 128, 14)
+    bits, freq, allele, geno_sel, a12, B, g_cand, fA, fB, A = \
+        _rand_problem(seed=7, N=16, H=640, Cm=9, A=6)
+    is_oob = B == 0
+    args = tuple(map(jnp.asarray, (bits, allele)))
+    rest = tuple(map(jnp.asarray, (fA, fB, g_cand, geno_sel, a12[0],
+                                   a12[1], is_oob, B)))
+    acc_r, ll_r = evaluate_candidates(args[0], args[1], jnp.asarray(10),
+                                      *rest, A)
+    acc_p, ll_p = evaluate_candidates_pallas(args[0], args[1], *rest, A,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc_p), np.asarray(acc_r))
+    np.testing.assert_allclose(ll_p, ll_r, rtol=1e-4)
+
+
 def test_em_engine_dispatch_in_driver():
     """em_all_candidates(engine='pallas_interpret') runs the kernel tier
     and converges to the jnp result at f32 tolerance."""
