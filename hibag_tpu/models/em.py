@@ -416,11 +416,12 @@ def _make_estep(valid, bits, allele, geno_sel, a1, a2, B, m, total_n,
     if (engine in ("pallas", "pallas_em", "pallas_interpret")
             and dtype == jnp.float32 and H % 128 == 0):
         from ..ops.train_step_pallas import (
-            EM_PACKED_MAX_H, em_estep_pallas, em_estep_pallas_packed,
-            em_pad_candidates, em_prepare_packed_pallas, em_prepare_pallas)
+            EM_INT8_MAX_H, EM_PACKED_MAX_H, em_estep_pallas,
+            em_estep_pallas_packed, em_pad_candidates,
+            em_prepare_packed_pallas, em_prepare_pallas)
         C = m.shape[0]
         interp = engine == "pallas_interpret"
-        if S * H * H <= mask_budget:
+        if H <= EM_INT8_MAX_H and S * H * H <= mask_budget:
             # int8 mask resident: the small/mid-scale kernel tier
             mask = match_pairs(bits, valid, allele, geno_sel, a1, a2)
             maskT, m3, B2, cp = em_prepare_pallas(mask, m, B, C)

@@ -133,11 +133,19 @@ def fused_grow_segment(state, step_limit, budget, B, real, geno, a1, a2,
     TPU-native equivalent of the reference's unbounded CHaplotypeList
     growth, src/LibHLA.cpp:461-515).
 
-    ``engine``: "jnp" or "pallas"/"pallas_interpret" — the fused Pallas
-    step kernels (ops/train_step_pallas.py) for the EM iteration and the
-    candidate evaluation.  Within one engine the trajectory is fully
-    deterministic and capacity-replay-safe (the freeze==retry tests run
-    under both); across engines results differ by f32 reduction order.
+    ``engine``: "jnp", "pallas_eval", or "pallas"/"pallas_em"/
+    "pallas_interpret" — the fused Pallas step kernels
+    (ops/train_step_pallas.py) for the EM iteration and/or the candidate
+    evaluation.  Within one engine AND one capacity bucket the trajectory
+    is fully deterministic; across engines results differ by f32
+    reduction order.  Capacity-REPLAY safety (freeze==retry, verified by
+    tests/test_fused.py under the jnp engine) additionally requires the
+    per-step reductions to group samples identically at both capacities:
+    true for jnp/pallas_eval whenever em._chunk_plan is H-independent
+    (the round-4 cohort caveat in ``train_fused_batch`` covers the rest),
+    but NOT for the opt-in pallas EM kernels, whose sample-chunk size
+    em_chunk_size(H) changes with H below 384 — a resume there can flip
+    exact floating ties against a from-scratch run.
     """
     N, P = geno.shape
     geno_T = geno.T  # [P, N]
@@ -290,7 +298,8 @@ SEGMENT_SAMPLE_THRESHOLD = 8192
 RETRY_MAX_HCAP = 4096
 
 
-def resolve_engine(engine, backend=None, n_samples=None) -> str:
+def resolve_engine(engine, backend=None, n_samples=None,
+                   sharded=False) -> str:
     """Resolve the step-kernel engine.  None/"auto" picks by MEASURED win
     regions (interleaved same-process v5e sweeps, COVERAGE.md round 5):
 
@@ -310,11 +319,18 @@ def resolve_engine(engine, backend=None, n_samples=None) -> str:
       packed ~120 ms/iter — the jnp packed tier is already within ~2x of
       the unpack-VPU + T-matmul roofline) and remain explicit-opt-in.
 
+    ``sharded=True`` (the classifier axis rides a multi-device mesh)
+    forces jnp on auto: pallas_call has no GSPMD partitioning rule, so
+    inside a mesh-sharded segment the partitioner would replicate its
+    operands — all-gathering the K-sharded state and destroying the
+    zero-cross-device-traffic classifier sharding.  Explicit engine=
+    values are honored for callers that shard_map the kernel themselves.
+
     HIBAG_TPU_STEP_ENGINE overrides."""
     engine = os.environ.get("HIBAG_TPU_STEP_ENGINE", engine or "auto")
     if engine in (None, "auto"):
         backend = backend or jax.default_backend()
-        if backend != "tpu":
+        if backend != "tpu" or sharded:
             return "jnp"
         return "pallas_eval" if (n_samples or 0) >= 512 else "jnp"
     return engine
@@ -358,6 +374,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
     # host-created state arrays with the same K-leading sharding (replicated
     # for the scalar), so the segment jit sees one consistent placement
     putk = putr = lambda x: x
+    sharded = False
     try:
         from jax.sharding import NamedSharding, PartitionSpec
         sh = getattr(state0.bits if state0 is not None else bits0,
@@ -367,6 +384,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
             rep = NamedSharding(sh.mesh, PartitionSpec())
             putk = functools.partial(jax.device_put, device=ens_k)
             putr = functools.partial(jax.device_put, device=rep)
+            sharded = True
     except Exception:
         pass
 
@@ -422,7 +440,7 @@ def fused_grow_batch(bits0, freq0, allele0, B, real, geno, a1, a2, key0,
                     f"per-chunk rematerialization (~4-8x per-EM-iteration "
                     f"cost). Train in smaller classifier batches or raise "
                     f"HIBAG_TPU_MASK_BUDGET_MB to keep the packed tier.")
-    engine = resolve_engine(engine, n_samples=N)
+    engine = resolve_engine(engine, n_samples=N, sharded=sharded)
     budget = putr(jnp.asarray(max_steps, jnp.int32))
     steps_done = 0
     while steps_done < max_steps:
@@ -522,8 +540,9 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     Both exact modes cost one compile per hcap bucket — significant under
     a remote-compile tunnel; "freeze" additionally avoids retraining work.
 
-    ``engine``: step-kernel engine, default auto ("pallas" on TPU, "jnp"
-    elsewhere — see ``resolve_engine``); resolved once here so retries and
+    ``engine``: step-kernel engine, default auto — "pallas_eval" on TPU
+    from 512 (padded) samples, "jnp" otherwise and under a multi-device
+    mesh (see ``resolve_engine``); resolved once here so retries and
     freeze resumes at other capacities run the SAME engine (trajectory
     consistency across capacity buckets requires it).
 
@@ -544,7 +563,9 @@ def train_fused_batch(ctx, K: int, seed: int, mtry: int, prune: bool = True,
     from ..utils.rng import RRng
 
     N, P = ctx.n_samp, ctx.n_snp
-    engine = resolve_engine(engine, n_samples=ctx.n_samp_pad)
+    engine = resolve_engine(
+        engine, n_samples=ctx.n_samp_pad,
+        sharded=(mesh is not None and mesh.size > 1))
     L = MAXNUM_SNP
     rare_prob = max(FRACTION_HAPLO / (2.0 * N), MIN_RARE_FREQ)
     ids = (list(range(first_id, first_id + K)) if _ids is None

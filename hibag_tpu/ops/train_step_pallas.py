@@ -153,9 +153,21 @@ def _em_kernel(maskT_ref, fboth_ref, m3_ref, b_ref, tn_ref,
 
 
 def em_chunk_size(H: int) -> int:
-    """Sample-chunk size keeping the f32 mask chunk ~<= 4 MB of VMEM."""
+    """Sample-chunk size for the int8-mask EM kernel: targets ~4 MB for
+    the streamed block, floored at 8 for sublane alignment.  In the floor
+    regime (H >= 384) the per-grid-step VMEM is ~3*8*H^2 bytes (int8
+    block + its bf16 copy) — EM_INT8_MAX_H caps the tier where that plus
+    the T transient approaches the 16 MB ceiling."""
     sc = (4 * 1024 * 1024) // (H * H * 4)
     return int(max(8, min(64, (sc // 8) * 8)))
+
+
+#: largest H the int8-mask EM kernel accepts: at the sc=8 chunk floor the
+#: streamed block plus its in-kernel bf16 copy is 3*8*H^2 bytes (~9.8 MB
+#: at 640; ~14.2 MB at 768, over the ceiling with the T transient).
+#: Larger H falls through to the packed-mask kernel tier (<= 1024) or
+#: the jnp tiers (em._make_estep).
+EM_INT8_MAX_H = 640
 
 
 def _em_kernel_packed(packed_ref, fboth_ref, m3_ref, b_ref, tn_ref,

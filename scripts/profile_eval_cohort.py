@@ -2,10 +2,11 @@
 eval kernel, including H=640 (the dominant freeze-resume capacity of the
 exact-at-scale run — final live counts 564/565/554 fit the 640 bucket).
 
-The Pallas eval kernel ships with EVAL_MAX_H=512; this script measures
-whether raising it to 640 wins (set HIBAG_TPU_EVAL_MAX_H=640 when driving
-training afterwards).  Same-process interleaved timing, per COVERAGE.md
-methodology.
+Measured round 5 (this script; EVAL_MAX_H=640 has shipped as the default
+since): jnp 2.06 s vs pallas 1.55 s at N=102,400, H=640 — eval dominates
+those growth steps.  Same-process interleaved timing, per COVERAGE.md
+methodology.  Use HIBAG_TPU_EVAL_MAX_H only to probe other ceilings
+(H=768 needs ~18 MB VMEM and will fail to compile).
 
 Run on TPU:
   PYTHONPATH=/root/.axon_site:/root/repo python3 scripts/profile_eval_cohort.py \

@@ -35,8 +35,11 @@ def test_em_estep_kernel_matches_jnp():
     from hibag_tpu.ops.train_step_pallas import (
         em_estep_pallas, em_pad_candidates, em_prepare_pallas)
 
+    # N=80 pads to S=128 = 2 chunks of em_chunk_size(128)=64, so the
+    # grid's i != 0 accumulation branch is exercised, not just the i == 0
+    # initialization
     bits, freq, allele, geno_sel, a12, B, g_cand, fA, fB, A = \
-        _rand_problem()
+        _rand_problem(N=80)
     Cm = fA.shape[0]
     valid = freq > 0
     mask = match_pairs(jnp.asarray(bits), jnp.asarray(valid),
@@ -136,6 +139,24 @@ def test_eval_kernel_h640():
                                              interpret=True)
     np.testing.assert_array_equal(np.asarray(acc_p), np.asarray(acc_r))
     np.testing.assert_allclose(ll_p, ll_r, rtol=1e-4)
+
+
+def test_resolve_engine_regions():
+    """Auto engine: jnp off-TPU and at small N, pallas_eval from N>=512
+    on TPU, and ALWAYS jnp when the classifier axis is mesh-sharded
+    (pallas_call has no GSPMD partitioning rule — auto must not put one
+    inside a partitioned segment)."""
+    from hibag_tpu.models.train_fused import resolve_engine
+
+    assert resolve_engine("auto", backend="cpu", n_samples=4096) == "jnp"
+    assert resolve_engine("auto", backend="tpu", n_samples=60) == "jnp"
+    assert resolve_engine("auto", backend="tpu",
+                          n_samples=2048) == "pallas_eval"
+    assert resolve_engine("auto", backend="tpu", n_samples=2048,
+                          sharded=True) == "jnp"
+    # explicit choices are honored everywhere (shard_map'd callers)
+    assert resolve_engine("pallas_em", backend="tpu",
+                          sharded=True) == "pallas_em"
 
 
 def test_em_engine_dispatch_in_driver():
